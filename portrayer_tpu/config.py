@@ -1,0 +1,118 @@
+"""Render configuration.
+
+The reference (sunjay/portrayer) exposes its knobs through env vars
+(``SAMPLES`` — src/render.rs:107-113, ``KD_DEPTH`` — src/kdtree/kdscene.rs:36,
+``KD_MESH_DEPTH`` — src/kdtree/kdmesh.rs:51) and cargo features
+(``kdtree``/``flat_scene`` — Cargo.toml:29-36).  Here the same knobs live in a
+single dataclass that is threaded through the renderer, plus TPU-specific
+controls (dtype, tile shape, wavefront queue capacity, device mesh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+# Mirrors EPSILON in the reference (src/math.rs:15).  Used for t-range starts
+# and containment slack in primitive tests (local/unit-object space).
+EPSILON = 1e-5
+
+# Gamma used for encode/decode (src/math.rs:20).
+GAMMA = 2.2
+
+# Maximum ray recursion depth (src/material.rs:12).
+MAX_RECURSION_DEPTH = 10
+
+# Indices of refraction (src/material.rs:15-23).
+AIR_REFRACTION_INDEX = 1.00
+WATER_REFRACTION_INDEX = 1.33
+WINDOW_GLASS_REFRACTION_INDEX = 1.51
+OPTICAL_GLASS_REFRACTION_INDEX = 1.92
+DIAMOND_REFRACTION_INDEX = 2.42
+
+
+def _env_samples(default: int = 100) -> int:
+    """SAMPLES env var semantics of the reference: positive int or default."""
+    val = os.environ.get("SAMPLES")
+    if val is not None:
+        try:
+            parsed = int(val)
+            if parsed > 0:
+                return parsed
+        except ValueError:
+            pass
+    return default
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Controls sampling, precision and the wavefront execution shape."""
+
+    # Samples per pixel (jittered).  Default matches the reference default of
+    # 100; the SAMPLES env var overrides it, like src/render.rs:107-113.
+    samples: Optional[int] = None
+
+    # Maximum recursion depth for reflect/refract rays.
+    max_depth: int = MAX_RECURSION_DEPTH
+
+    # Compute dtype for the ray pipeline.  float32 is the TPU-native choice;
+    # float64 is available (on CPU) for high-precision verification runs.
+    dtype: jnp.dtype = jnp.float32
+
+    # Absolute epsilon for t-range starts (parity with the reference).
+    epsilon: float = EPSILON
+
+    # Additional *relative* epsilon applied to secondary/shadow ray starts to
+    # keep float32 robust on large scenes:  t_min = max(epsilon, eps_rel*|o|).
+    # The reference runs in f64 and does not need this.  Set to 0 for exact
+    # parity semantics.
+    eps_rel: float = 3e-4
+
+    # Self-intersection guard: a secondary ray re-testing the surface it
+    # spawned from uses this epsilon in the *local units* of that node
+    # (t_min_self = self_eps_local / |d_local|).  This is the float32-robust
+    # replacement for the f64 reference's flat EPSILON: near-tangent rays on
+    # heavily scaled primitives have sqrt(f32_eps)-amplified uncertainty.
+    # 0 restores strict reference semantics.
+    self_eps_local: float = 2e-3
+
+    # Pixels per render tile (height, width).  Each launched wavefront batch
+    # covers tile pixels x spp_chunk samples.
+    tile: Tuple[int, int] = (128, 128)
+
+    # Max rays per wavefront launch; spp are chunked so that
+    # tile_px * spp_chunk <= max_rays_per_launch.
+    max_rays_per_launch: int = 131072
+
+    # Capacity of the bounce queue as a multiple of the primary ray count.
+    # Whitted recursion can branch 2x per bounce (reflect+refract); children
+    # are kept by descending throughput when the queue overflows.
+    queue_factor: float = 1.0
+
+    # Rays with throughput below this are killed early (0 = strict parity).
+    min_throughput: float = 0.0
+
+    # Node-chunk size for the intersection sweep (controls peak memory:
+    # rays_per_launch x node_chunk temporaries).
+    node_chunk: int = 512
+
+    # Triangle-pair chunk size for mesh intersection sweeps.
+    tri_chunk: int = 512
+
+    # RNG seed for jitter/glossy/area-light sampling.  Renders are fully
+    # deterministic given (seed, config) — unlike the reference's thread_rng
+    # (SURVEY §4 nondeterminism caveat).
+    seed: int = 0
+
+    # Scene acceleration: "flat" (brute-force sweep) or "bvh" (two-level BVH
+    # culling).  Mirrors the reference's flat_scene/kdtree cargo features.
+    accel: str = "bvh"
+
+    def resolved_samples(self) -> int:
+        return self.samples if self.samples is not None else _env_samples()
+
+
+DEFAULT_CONFIG = RenderConfig()

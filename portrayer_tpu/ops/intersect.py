@@ -1,0 +1,615 @@
+"""Vectorized scene intersection — the TPU replacement for the reference's
+recursive `RayCast`/`RayHit` dispatch (src/ray.rs:39-99).
+
+Design (SURVEY §7): rays are SoA batches [R,3]; the scene is flat tables
+grouped by primitive kind.  For each kind we sweep node chunks with a
+`lax.scan`, computing candidate hit parameters for all (ray, node) pairs and
+folding a running nearest hit.  Mesh triangles are swept as (instance,
+triangle) pairs.  Hit *details* (normal, uv, tangent basis) are recomputed
+for the single winning node per ray afterwards — cheap, and avoids
+materializing per-pair detail.
+
+All candidate functions implement the reference's exact selection semantics:
+  * half-open t-range:  t_min <= t < t_max  (Range::contains)
+  * quadratic prims take the *smallest root in range* then apply cap checks
+    with no second-root fallback (e.g. cylinder body, cylinder.rs:50-61)
+  * cube = fold over 6 faces with strictly-smaller replacement
+    (cube.rs:70-82); cylinder = body/top/bottom (cylinder.rs:119-154);
+    cone = body/bottom (cone.rs:28-187)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import math3d as m3
+from ..config import RenderConfig
+from ..scene.flatten import (
+    SceneTables, SPHERE, PLANE, CUBE, CYLINDER, CONE, MESH,
+)
+
+INF = jnp.inf
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray       # [R] hit parameter (inf when no hit)
+    node: jnp.ndarray    # [R] int32 node id (-1 when no hit)
+    tri: jnp.ndarray     # [R] int32 triangle id (-1 for analytic prims)
+    hit: jnp.ndarray     # [R] bool
+
+
+class HitDetail(NamedTuple):
+    point: jnp.ndarray    # [R,3] world hit point
+    normal: jnp.ndarray   # [R,3] world normal (NOT normalized, ray.rs:19-22)
+    uv: jnp.ndarray       # [R,2]
+    has_uv: jnp.ndarray   # [R] bool
+    nmt: jnp.ndarray      # [R,3,3] normal-map transform (primitive-local —
+                          # the reference never transforms it, scene.rs:96-98)
+    has_nmt: jnp.ndarray  # [R] bool
+    material: jnp.ndarray # [R] int32
+
+
+def _guarded_div(n, d, fill=INF):
+    ok = d != 0.0
+    return jnp.where(ok, n / jnp.where(ok, d, 1.0), fill)
+
+
+def _in_range(t, t_min, t_max):
+    return (t >= t_min) & (t < t_max)
+
+
+# ---------------------------------------------------------------------------
+# Candidate-t functions.  o, d: [..., 3] local rays; t_min/t_max broadcastable
+# [...].  Return t [...] with inf where invalid.
+# ---------------------------------------------------------------------------
+
+def sphere_candidate(o, d, t_min, t_max, eps):
+    a = m3.dot(d, d)
+    b = 2.0 * m3.dot(o, d)
+    c = m3.dot(o, o) - 1.0
+    t, ok = m3.smallest_root_in_range(a, b, c, t_min, t_max)
+    return jnp.where(ok, t, INF)
+
+
+def plane_candidate(o, d, t_min, t_max, eps):
+    t = _guarded_div(-o[..., 1], d[..., 1])
+    p_x = o[..., 0] + t * d[..., 0]
+    p_z = o[..., 2] + t * d[..., 2]
+    r = 0.5 + eps
+    ok = (
+        _in_range(t, t_min, t_max)
+        & (jnp.abs(p_x) <= r)
+        & (jnp.abs(p_z) <= r)
+    )
+    return jnp.where(ok, t, INF)
+
+
+# Cube faces: (point_axis, point_sign, normal) encoded per face, in the FACES
+# table order of cube.rs:46-65 (right, left, top, bottom, near, far).
+_CUBE_FACES = (
+    (0, +0.5), (0, -0.5), (1, +0.5), (1, -0.5), (2, +0.5), (2, -0.5),
+)
+
+
+def _cube_face_fold(o, d, t_min, t_max, eps):
+    """Returns (best_t, best_face) folding faces with strictly-smaller wins."""
+    r = 0.5 + eps
+    best_t = jnp.full(o.shape[:-1], INF, o.dtype)
+    best_face = jnp.full(o.shape[:-1], -1, jnp.int32)
+    for fi, (axis, sign) in enumerate(_CUBE_FACES):
+        # InfinitePlane through (sign on axis) with normal along axis*sign:
+        # t = -(o - p).n / d.n  with n = sign * e_axis
+        denom = d[..., axis] * jnp.sign(sign)
+        numer = -(o[..., axis] - sign) * jnp.sign(sign)
+        t = _guarded_div(numer, denom)
+        p = o + t[..., None] * d
+        contains = jnp.all(jnp.abs(p) <= r, axis=-1)
+        ok = _in_range(t, t_min, t_max) & contains & (t < best_t)
+        best_face = jnp.where(ok, fi, best_face)
+        best_t = jnp.where(ok, t, best_t)
+    return best_t, best_face
+
+
+def cube_candidate(o, d, t_min, t_max, eps):
+    t, _ = _cube_face_fold(o, d, t_min, t_max, eps)
+    return t
+
+
+def _cyl_parts(o, d, t_min, t_max):
+    """Cylinder candidates (body, top cap, bottom cap); r=0.5, h=1."""
+    R2 = 0.25
+    a = d[..., 0] ** 2 + d[..., 2] ** 2
+    b = 2.0 * (o[..., 0] * d[..., 0] + o[..., 2] * d[..., 2])
+    c = o[..., 0] ** 2 + o[..., 2] ** 2 - R2
+    t_body, ok = m3.smallest_root_in_range(a, b, c, t_min, t_max)
+    y = o[..., 1] + t_body * d[..., 1]
+    ok = ok & ~(y > 0.5) & ~(y < -0.5)
+    t_body = jnp.where(ok, t_body, INF)
+
+    def cap(h):
+        t = _guarded_div(h - o[..., 1], d[..., 1])
+        px = o[..., 0] + t * d[..., 0]
+        pz = o[..., 2] + t * d[..., 2]
+        okc = _in_range(t, t_min, t_max) & ~(px * px + pz * pz > R2)
+        return jnp.where(okc, t, INF)
+
+    return t_body, cap(0.5), cap(-0.5)
+
+
+def cylinder_candidate(o, d, t_min, t_max, eps):
+    t_body, t_top, t_bot = _cyl_parts(o, d, t_min, t_max)
+    # fold with strictly-smaller wins (cylinder.rs:119-154)
+    t = t_body
+    t = jnp.where(t_top < t, t_top, t)
+    t = jnp.where(t_bot < t, t_bot, t)
+    return t
+
+
+def _cone_parts(o, d, t_min, t_max):
+    """Cone candidates (body, bottom cap); r=0.5, h=1, apex at y=+0.5."""
+    H = 1.0
+    h2 = H * H
+    r2 = 0.25
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    a = 4.0 * dy * dy * r2 - 4.0 * h2 * (dx * dx + dz * dz)
+    b = -8.0 * h2 * (dx * ox + dz * oz) - 4.0 * r2 * (dy * H - 2.0 * dy * oy)
+    c = -4.0 * h2 * (ox * ox + oz * oz) + r2 * (h2 - 4.0 * H * oy + 4.0 * oy * oy)
+    t_body, ok = m3.smallest_root_in_range(a, b, c, t_min, t_max)
+    y = oy + t_body * dy
+    ok = ok & ~(y > 0.5) & ~(y < -0.5)
+    t_body = jnp.where(ok, t_body, INF)
+
+    t_cap = _guarded_div(-0.5 - oy, dy)
+    px = ox + t_cap * dx
+    pz = oz + t_cap * dz
+    okc = _in_range(t_cap, t_min, t_max) & ~(px * px + pz * pz > r2)
+    t_cap = jnp.where(okc, t_cap, INF)
+    return t_body, t_cap
+
+
+def cone_candidate(o, d, t_min, t_max, eps):
+    t_body, t_cap = _cone_parts(o, d, t_min, t_max)
+    t = t_body
+    t = jnp.where(t_cap < t, t_cap, t)
+    return t
+
+
+_ANALYTIC_CANDIDATES = {
+    SPHERE: sphere_candidate,
+    PLANE: plane_candidate,
+    CUBE: cube_candidate,
+    CYLINDER: cylinder_candidate,
+    CONE: cone_candidate,
+}
+
+
+def triangle_candidate(o, d, a, b, c, t_min, t_max):
+    """Shirley/Cramer triangle intersection (triangle.rs:39-80).
+
+    o, d: [R,1,3] (or broadcastable); a, b, c: [C,3].  Returns t [R,C].
+    Also returns (beta, gamma) for reuse by the detail pass.
+    """
+    e1 = a - b  # [C,3] — "abc" columns in Shirley's notation
+    e2 = a - c
+    A, B, C_ = e1[..., 0], e1[..., 1], e1[..., 2]
+    D, E, F = e2[..., 0], e2[..., 1], e2[..., 2]
+    G, H, I = d[..., 0], d[..., 1], d[..., 2]
+    rhs = a - o  # [R,C,3]
+    J, K, L = rhs[..., 0], rhs[..., 1], rhs[..., 2]
+
+    ei_hf = E * I - H * F
+    gf_di = G * F - D * I
+    dh_eg = D * H - E * G
+    M = A * ei_hf + B * gf_di + C_ * dh_eg
+
+    ak_jb = A * K - J * B
+    jc_al = J * C_ - A * L
+    bl_ck = B * L - C_ * K
+
+    t = _guarded_div(-(F * ak_jb + E * jc_al + D * bl_ck), M)
+    gamma = _guarded_div(I * ak_jb + H * jc_al + G * bl_ck, M, 2.0)
+    beta = _guarded_div(J * ei_hf + K * gf_di + L * dh_eg, M, 2.0)
+
+    ok = (
+        _in_range(t, t_min, t_max)
+        & ~(gamma < 0.0) & ~(gamma > 1.0)
+        & ~(beta < 0.0) & ~(beta > 1.0 - gamma)
+    )
+    return jnp.where(ok, t, INF), beta, gamma
+
+
+# ---------------------------------------------------------------------------
+# Sweeps
+# ---------------------------------------------------------------------------
+
+def _pad_reshape(x, chunk, fill=0):
+    """Pad axis 0 to a multiple of `chunk` and reshape to [n_chunks, chunk, ...]."""
+    n = x.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    if pad:
+        pad_width = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        x = jnp.pad(x, pad_width, constant_values=fill)
+    return x.reshape((n_chunks, chunk) + x.shape[1:])
+
+
+def _local_rays(inv34, o, d):
+    """Transform rays [R,3] into the local frames of nodes [C,3,4] -> [R,C,3].
+
+    Written as broadcasted mul+add (VPU, full f32) rather than einsum: TPU
+    dot-general would run at bfloat16 MXU precision and cause shadow acne.
+    """
+    rot = inv34[None, :, :, :3]                       # [1,C,3,3]
+    lo = jnp.sum(rot * o[:, None, None, :], axis=-1) + inv34[None, :, :, 3]
+    ld = jnp.sum(rot * d[:, None, None, :], axis=-1)
+    return lo, ld
+
+
+def intersect_scene(
+    o, d, t_min, t_max, st: SceneTables, cfg: RenderConfig,
+    active=None, src_node=None, src_tri=None,
+) -> Hit:
+    """Nearest hit for a batch of world-space rays [R,3].
+
+    t_min/t_max: [R] or scalar.  `active`: optional [R] bool — inactive rays
+    report no hit (their lanes still compute).
+
+    src_node/src_tri: optional [R] int32 — the surface each ray spawned from.
+    When testing that same surface the t-range start is raised to
+    ``self_eps_local / |d_local|`` (an epsilon in the node's local units),
+    which suppresses float32 self-intersection acne on heavily scaled
+    primitives without disturbing any other geometry.
+    """
+    R = o.shape[0]
+    dtype = o.dtype
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, dtype), (R,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, dtype), (R,))
+
+    best_t = jnp.full((R,), INF, dtype)
+    best_node = jnp.full((R,), -1, jnp.int32)
+    best_tri = jnp.full((R,), -1, jnp.int32)
+
+    eps = cfg.epsilon
+    use_src = src_node is not None and cfg.self_eps_local > 0.0
+
+    def eff_t_min(ids, ld, is_src):
+        """Per-(ray, node) t-range start [R,C]."""
+        base = t_min[:, None]
+        if not use_src:
+            return base
+        d_norm = jnp.sqrt(jnp.sum(ld * ld, axis=-1))
+        t_self = cfg.self_eps_local / jnp.maximum(d_norm, 1e-30)
+        return jnp.where(is_src, jnp.maximum(base, t_self), base)
+
+    # --- analytic groups ---
+    for kind, start, count in st.groups:
+        if kind == MESH or count == 0:
+            continue
+        cand_fn = _ANALYTIC_CANDIDATES[kind]
+        idx = jnp.arange(start, start + count, dtype=jnp.int32)
+        inv = st.inv[start:start + count]
+        chunk = min(cfg.node_chunk, count)
+        idx_c = _pad_reshape(idx, chunk, fill=-1)
+        inv_c = _pad_reshape(inv, chunk)
+
+        def body(carry, xs, cand_fn=cand_fn):
+            bt, bn = carry
+            ids, invs = xs
+            lo, ld = _local_rays(invs, o, d)
+            is_src = (ids[None, :] == src_node[:, None]) if use_src else False
+            t = cand_fn(lo, ld, eff_t_min(ids, ld, is_src), t_max[:, None], eps)
+            t = jnp.where(ids[None, :] >= 0, t, INF)
+            j = jnp.argmin(t, axis=1)
+            tj = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
+            better = tj < bt
+            bn = jnp.where(better, ids[j], bn)
+            bt = jnp.where(better, tj, bt)
+            return (bt, bn), None
+
+        (best_t, best_node), _ = jax.lax.scan(
+            body, (best_t, best_node), (idx_c, inv_c)
+        )
+
+    # --- mesh triangle pairs ---
+    mesh_start, mesh_count = st.group(MESH)
+    if mesh_count > 0 and st.n_pairs > 0:
+        chunk = min(cfg.tri_chunk, st.n_pairs)
+        pn_c = _pad_reshape(st.pair_node, chunk, fill=-1)
+        pt_c = _pad_reshape(st.pair_tri, chunk, fill=0)
+
+        def mesh_body(carry, xs):
+            bt, bn, btri = carry
+            p_node, p_tri = xs
+            node_ix = jnp.maximum(p_node, 0)
+            invs = st.inv[node_ix]                      # [C,3,4]
+            a = st.tri_a[p_tri]                         # [C,3]
+            b = st.tri_b[p_tri]
+            c = st.tri_c[p_tri]
+            lo, ld = _local_rays(invs, o, d)
+            is_src = (
+                (p_node[None, :] == src_node[:, None])
+                & (p_tri[None, :] == src_tri[:, None])
+            ) if use_src else False
+            t, _, _ = triangle_candidate(
+                lo, ld, a[None], b[None], c[None],
+                eff_t_min(p_node, ld, is_src), t_max[:, None],
+            )
+            t = jnp.where(p_node[None, :] >= 0, t, INF)
+            j = jnp.argmin(t, axis=1)
+            tj = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
+            better = tj < bt
+            bn = jnp.where(better, p_node[j], bn)
+            btri = jnp.where(better, p_tri[j], btri)
+            bt = jnp.where(better, tj, bt)
+            return (bt, bn, btri), None
+
+        (best_t, best_node, best_tri), _ = jax.lax.scan(
+            mesh_body, (best_t, best_node, best_tri), (pn_c, pt_c)
+        )
+
+    hit = jnp.isfinite(best_t)
+    if active is not None:
+        hit = hit & active
+    return Hit(t=best_t, node=jnp.where(hit, best_node, -1),
+               tri=jnp.where(hit, best_tri, -1), hit=hit)
+
+
+def occluded(
+    o, d, t_min, t_max, st: SceneTables, cfg: RenderConfig,
+    active=None, src_node=None, src_tri=None,
+):
+    """Any-hit query for shadow rays.  The reference casts the full nearest-hit
+    query with an unbounded range (material.rs:174-179) — occlusion therefore
+    counts objects even *beyond* the light, which we preserve."""
+    return intersect_scene(
+        o, d, t_min, t_max, st, cfg,
+        active=active, src_node=src_node, src_tri=src_tri,
+    ).hit
+
+
+# ---------------------------------------------------------------------------
+# Hit detail — recompute normal/uv/tangent for the winning node per ray.
+# ---------------------------------------------------------------------------
+
+def _sphere_detail(p, eps, dtype):
+    """p: [R,3] local hit point on the unit sphere."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    u = (jnp.pi + jnp.arctan2(-z, x)) / (2.0 * jnp.pi)
+    v = jnp.arccos(jnp.clip(y, -1.0, 1.0)) / jnp.pi
+    uv = jnp.stack([u, v], axis=-1)
+    normal = p
+    # tangent basis (sphere.rs:72-96): to_top = normalize((0,1,0) - p)
+    to_top = m3.normalize(jnp.stack([-x, 1.0 - y, -z], axis=-1), eps=1e-30)
+    degenerate = (jnp.abs(to_top[..., 0]) < eps) & (jnp.abs(to_top[..., 2]) < eps)
+    h_tan = m3.cross(to_top, normal)
+    v_tan = m3.cross(normal, h_tan)
+    # Special case: ±y pole -> right/normal/(back|forward). vek: back_rh=+z, forward_rh=-z
+    pole_col2 = jnp.where(
+        (y > 0.0)[..., None],
+        jnp.array([0.0, 0.0, 1.0], dtype),
+        jnp.array([0.0, 0.0, -1.0], dtype),
+    )
+    right = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype), p.shape)
+    col0 = jnp.where(degenerate[..., None], right, h_tan)
+    col2 = jnp.where(degenerate[..., None], pole_col2, v_tan)
+    nmt = jnp.stack([col0, normal, col2], axis=-1)  # columns
+    return normal, uv, jnp.ones(p.shape[:-1], bool), nmt, jnp.ones(p.shape[:-1], bool)
+
+
+# Cube face UV data from cube.rs FACES: (axis, sign, uv_axis(u,v), uv_offset(u,v))
+_CUBE_FACE_UV = (
+    (0, +0.5, (-1.0, 1.0), (1.0 / 2.0, 1.0 / 3.0)),   # right
+    (0, -0.5, (1.0, 1.0), (0.0, 1.0 / 3.0)),          # left
+    (1, +0.5, (1.0, -1.0), (1.0 / 4.0, 0.0)),         # top
+    (1, -0.5, (1.0, 1.0), (1.0 / 4.0, 2.0 / 3.0)),    # bottom
+    (2, +0.5, (1.0, 1.0), (1.0 / 4.0, 1.0 / 3.0)),    # near
+    (2, -0.5, (-1.0, 1.0), (3.0 / 4.0, 1.0 / 3.0)),   # far
+)
+
+
+def _cube_detail(o, d, t_min, t_max, p, eps, dtype):
+    _, face = _cube_face_fold(o, d, t_min, t_max, eps)
+    face = jnp.maximum(face, 0)
+    R = p.shape[0]
+    normals = jnp.zeros((6, 3), dtype)
+    face_u = jnp.zeros((6,), dtype)
+    face_v = jnp.zeros((6,), dtype)
+    # face_uv selection: normal.x!=0 -> (z, y); normal.y!=0 -> (x, z); else (x, y)
+    uv_sel = []
+    uv_axis = jnp.zeros((6, 2), dtype)
+    uv_off = jnp.zeros((6, 2), dtype)
+    nvecs = []
+    for fi, (axis, sign, uvax, uvoff) in enumerate(_CUBE_FACE_UV):
+        n = [0.0, 0.0, 0.0]
+        n[axis] = 1.0 if sign > 0 else -1.0
+        nvecs.append(n)
+        uv_axis = uv_axis.at[fi].set(jnp.array(uvax, dtype))
+        uv_off = uv_off.at[fi].set(jnp.array(uvoff, dtype))
+        uv_sel.append((0, 1) if axis == 2 else ((2, 1) if axis == 0 else (0, 2)))
+    normals = jnp.array(nvecs, dtype)           # [6,3]
+    uv_sel = jnp.array(uv_sel, jnp.int32)       # [6,2]
+
+    n = normals[face]                           # [R,3]
+    sel = uv_sel[face]                          # [R,2]
+    fu = jnp.take_along_axis(p, sel[:, :1], axis=-1)[:, 0]
+    fv = jnp.take_along_axis(p, sel[:, 1:2], axis=-1)[:, 0]
+    ax = uv_axis[face]
+    off = uv_off[face]
+    norm_u = fu * ax[:, 0] + 0.5
+    norm_v = 0.5 - fv * ax[:, 1]
+    uv = jnp.stack([norm_u / 4.0, norm_v / 3.0], axis=-1) + off
+    # tangent basis (cube.rs:111-136): to_top = normalize((0,1,0)*L - p)
+    to_top = m3.normalize(
+        jnp.stack([-p[..., 0], 1.0 - p[..., 1], -p[..., 2]], axis=-1), eps=1e-30
+    )
+    degenerate = (jnp.abs(to_top[..., 0]) < eps) & (jnp.abs(to_top[..., 2]) < eps)
+    h_tan = m3.cross(to_top, n)
+    v_tan = m3.cross(n, h_tan)
+    pole_col2 = jnp.where(
+        (n[..., 1] > 0.0)[..., None],
+        jnp.array([0.0, 0.0, 1.0], dtype),
+        jnp.array([0.0, 0.0, -1.0], dtype),
+    )
+    right = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype), p.shape)
+    col0 = jnp.where(degenerate[..., None], right, h_tan)
+    col2 = jnp.where(degenerate[..., None], pole_col2, v_tan)
+    nmt = jnp.stack([col0, n, col2], axis=-1)
+    ones = jnp.ones((R,), bool)
+    return n, uv, ones, nmt, ones
+
+
+def _plane_detail(p, dtype):
+    R = p.shape[0]
+    n = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], dtype), p.shape)
+    uv = jnp.stack([p[..., 0] + 0.5, p[..., 2] + 0.5], axis=-1)
+    nmt = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (R, 3, 3))
+    ones = jnp.ones((R,), bool)
+    return n, uv, ones, nmt, ones
+
+
+def _cylinder_detail(o, d, t_min, t_max, p, dtype):
+    t_body, t_top, t_bot = _cyl_parts(o, d, t_min, t_max)
+    t = t_body
+    part = jnp.zeros(t.shape, jnp.int32)
+    part = jnp.where(t_top < t, 1, part)
+    t = jnp.minimum(t, t_top)
+    part = jnp.where(t_bot < t, 2, part)
+    n_body = jnp.stack([p[..., 0], jnp.zeros_like(p[..., 1]), p[..., 2]], axis=-1)
+    up = jnp.array([0.0, 1.0, 0.0], dtype)
+    down = jnp.array([0.0, -1.0, 0.0], dtype)
+    n = jnp.where((part == 0)[..., None], n_body,
+                  jnp.where((part == 1)[..., None], up, down))
+    R = p.shape[0]
+    zeros = jnp.zeros((R,), bool)
+    return n, jnp.zeros((R, 2), dtype), zeros, jnp.broadcast_to(jnp.eye(3, dtype=dtype), (R, 3, 3)), zeros
+
+
+def _cone_detail(o, d, t_min, t_max, p, dtype):
+    t_body, t_cap = _cone_parts(o, d, t_min, t_max)
+    is_cap = t_cap < t_body
+    # body normal (cone.rs:78-104)
+    tip = jnp.array([0.0, 0.5, 0.0], dtype)
+    tangent1 = tip - p
+    across = jnp.stack([-2.0 * p[..., 0], jnp.zeros_like(p[..., 1]), -2.0 * p[..., 2]], axis=-1)
+    tangent2 = m3.cross(tangent1, across)
+    n_body = m3.cross(tangent1, tangent2)
+    down = jnp.array([0.0, -1.0, 0.0], dtype)
+    n = jnp.where(is_cap[..., None], down, n_body)
+    R = p.shape[0]
+    zeros = jnp.zeros((R,), bool)
+    return n, jnp.zeros((R, 2), dtype), zeros, jnp.broadcast_to(jnp.eye(3, dtype=dtype), (R, 3, 3)), zeros
+
+
+def _mesh_detail(lo, ld, tri_ix, st: SceneTables, t_min, t_max, dtype):
+    """Detail for mesh hits: recompute barycentrics on the winning triangle."""
+    a = st.tri_a[tri_ix]
+    b = st.tri_b[tri_ix]
+    c = st.tri_c[tri_ix]
+    _, beta, gamma = triangle_candidate(
+        lo[:, None, :], ld[:, None, :], a[:, None, :], b[:, None, :], c[:, None, :],
+        t_min[:, None], t_max[:, None],
+    )
+    beta = beta[:, 0]
+    gamma = gamma[:, 0]
+    alpha = 1.0 - beta - gamma
+
+    smooth = st.tri_smooth[tri_ix]
+    na, nb, nc = st.tri_na[tri_ix], st.tri_nb[tri_ix], st.tri_nc[tri_ix]
+    n_smooth = na * alpha[:, None] + nb * beta[:, None] + nc * gamma[:, None]
+    n_flat = m3.cross(b - a, c - a)
+    n = jnp.where(smooth[:, None], n_smooth, n_flat)
+
+    has_uv = st.tri_has_uv[tri_ix]
+    uva, uvb, uvc = st.tri_uva[tri_ix], st.tri_uvb[tri_ix], st.tri_uvc[tri_ix]
+    uv_i = uva * alpha[:, None] + uvb * beta[:, None] + uvc * gamma[:, None]
+    # v-flip (triangle.rs:98)
+    uv = jnp.stack([uv_i[..., 0], 1.0 - uv_i[..., 1]], axis=-1)
+
+    # TBN (triangle.rs:103-138)
+    edge1 = b - a
+    edge2 = c - a
+    duv1 = uvb - uva
+    duv2 = uvc - uva
+    tangent = duv2[..., 1:2] * edge1 - duv1[..., 1:2] * edge2
+    bitangent = -duv2[..., 0:1] * edge1 + duv1[..., 0:1] * edge2
+    coeff = duv1[..., 0] * duv2[..., 1] - duv2[..., 0] * duv1[..., 1]
+    coeff_ok = coeff != 0.0
+    coeff_safe = jnp.where(coeff_ok, coeff, 1.0)[..., None]
+    tangent = m3.normalize(tangent / coeff_safe, eps=1e-30)
+    bitangent = m3.normalize(bitangent / coeff_safe, eps=1e-30)
+    n_unit = m3.normalize(n, eps=1e-30)
+    nmt = jnp.stack([tangent, n_unit, bitangent], axis=-1)
+    return n, uv, has_uv, nmt, has_uv
+
+
+def hit_detail(o, d, hit: Hit, st: SceneTables, cfg: RenderConfig, t_min) -> HitDetail:
+    """Compute world hit point / normal / uv / tangent info for winners."""
+    R = o.shape[0]
+    dtype = o.dtype
+    node = jnp.maximum(hit.node, 0)
+    t = jnp.where(hit.hit, hit.t, 1.0)
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, dtype), (R,))
+    t_max = jnp.full((R,), INF, dtype)
+
+    inv = st.inv[node]          # [R,3,4]
+    nmat = st.normal_mat[node]  # [R,3,3]
+    lo = m3.transform_point(inv, o)
+    ld = m3.transform_dir(inv, d)
+    p_local = lo + t[:, None] * ld
+    point = o + t[:, None] * d
+
+    normal = jnp.zeros((R, 3), dtype)
+    uv = jnp.zeros((R, 2), dtype)
+    has_uv = jnp.zeros((R,), bool)
+    nmt = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (R, 3, 3))
+    has_nmt = jnp.zeros((R,), bool)
+
+    kind_of_node = _node_kinds(st)  # [N] int32 (built host-side, static)
+    ray_kind = kind_of_node[node]
+
+    eps = cfg.epsilon
+    present = {k for (k, _, _) in st.groups}
+    for kind in sorted(present):
+        if kind == SPHERE:
+            parts = _sphere_detail(p_local, eps, dtype)
+        elif kind == PLANE:
+            parts = _plane_detail(p_local, dtype)
+        elif kind == CUBE:
+            parts = _cube_detail(lo, ld, t_min, t_max, p_local, eps, dtype)
+        elif kind == CYLINDER:
+            parts = _cylinder_detail(lo, ld, t_min, t_max, p_local, dtype)
+        elif kind == CONE:
+            parts = _cone_detail(lo, ld, t_min, t_max, p_local, dtype)
+        elif kind == MESH:
+            parts = _mesh_detail(lo, ld, jnp.maximum(hit.tri, 0), st, t_min, t_max, dtype)
+        mask = ray_kind == kind
+        n_k, uv_k, huv_k, nmt_k, hnmt_k = parts
+        normal = jnp.where(mask[:, None], n_k, normal)
+        uv = jnp.where(mask[:, None], uv_k, uv)
+        has_uv = jnp.where(mask, huv_k, has_uv)
+        nmt = jnp.where(mask[:, None, None], nmt_k, nmt)
+        has_nmt = jnp.where(mask, hnmt_k, has_nmt)
+
+    # Local normal -> world (normal matrix = inv-transpose 3x3).
+    normal_w = m3.matvec3(nmat, normal)
+    material = st.material_id[node]
+    return HitDetail(
+        point=point, normal=normal_w, uv=uv, has_uv=has_uv,
+        nmt=nmt, has_nmt=has_nmt,
+        material=jnp.where(hit.hit, material, 0),
+    )
+
+
+def _node_kinds(st: SceneTables):
+    """[N] int32 primitive kind per node, derived from static group info."""
+    import numpy as np
+
+    kinds = np.zeros(st.n_nodes, np.int32)
+    for kind, start, count in st.groups:
+        kinds[start:start + count] = kind
+    return jnp.asarray(kinds)

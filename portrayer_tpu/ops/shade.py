@@ -1,0 +1,231 @@
+"""Vectorized shading — the reference's Material::hit_color
+(src/material.rs:91-320) as a batched kernel plus child-ray emission.
+
+One invocation shades a whole wavefront of hits:
+  * ambient + per-light [shadow-occluded Lambert diffuse + Blinn-Phong
+    specular (4x shininess compensation, material.rs:196-204)] / attenuation
+  * texture / procedural-texture diffuse override, uv_trans warp
+  * normal-map shading normal override (nmt stays primitive-local, see
+    intersect.HitDetail)
+  * emits reflect/refract child rays with throughput multipliers derived from
+    reflectivity and the Schlick/TIR dielectric logic (material.rs:216-317).
+Recursion becomes queue emission: child contribution is
+``throughput * traced_color``, which distributes over the reference's
+``color += reflectivity * (R*reflected + (1-R)*refracted)``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import math3d as m3
+from ..config import RenderConfig
+from ..scene.flatten import SceneTables
+from .intersect import Hit, HitDetail, occluded
+
+
+class Children(NamedTuple):
+    origin: jnp.ndarray     # [R,3] (same for both children: the hit point)
+    refl_dir: jnp.ndarray   # [R,3]
+    refl_mult: jnp.ndarray  # [R] throughput multiplier
+    refr_dir: jnp.ndarray   # [R,3]
+    refr_mult: jnp.ndarray  # [R]
+
+
+def _uniform(key, site: int, shape, dtype):
+    return jax.random.uniform(jax.random.fold_in(key, site), shape, dtype)
+
+
+def sample_atlas(data, meta, tex_ix, uv):
+    """Nearest-neighbour, euclid-wraparound atlas sampling
+    (src/texture.rs:104-141): x = trunc(u*(w-1)) rem_euclid w."""
+    m = meta[jnp.maximum(tex_ix, 0)]          # [R,3] (offset, w, h)
+    off, w, h = m[..., 0], m[..., 1], m[..., 2]
+    x = jnp.trunc(uv[..., 0] * (w - 1).astype(uv.dtype)).astype(jnp.int32)
+    y = jnp.trunc(uv[..., 1] * (h - 1).astype(uv.dtype)).astype(jnp.int32)
+    x = jnp.mod(x, jnp.maximum(w, 1))
+    y = jnp.mod(y, jnp.maximum(h, 1))
+    idx = off + y * w + x
+    return data[idx]                          # [R,3]
+
+
+def _apply_uv_trans(uv_trans, uv):
+    """uv' = (uv_trans @ (u, v, 1)).xy  (material.rs:113-117)."""
+    u = uv_trans[..., 0, 0] * uv[..., 0] + uv_trans[..., 0, 1] * uv[..., 1] + uv_trans[..., 0, 2]
+    v = uv_trans[..., 1, 0] * uv[..., 0] + uv_trans[..., 1, 1] * uv[..., 1] + uv_trans[..., 1, 2]
+    return jnp.stack([u, v], axis=-1)
+
+
+def _decode_normal_map(texel):
+    """RGB -> RH tangent-space normal (texture.rs:192-221): decoded LH vector
+    (2r-1, 2g-1, -(2b-1)) then (nx,ny,nz) -> (nx,-nz,-ny)."""
+    nx = 2.0 * texel[..., 0] - 1.0
+    ny = 2.0 * texel[..., 1] - 1.0
+    nz = -(2.0 * texel[..., 2] - 1.0)
+    return jnp.stack([nx, -nz, -ny], axis=-1)
+
+
+def shade_hits(
+    d, hit: Hit, det: HitDetail, st: SceneTables, cfg: RenderConfig,
+    key, active,
+):
+    """Returns (local_color [R,3], Children).  `active` masks live hit lanes."""
+    R = d.shape[0]
+    dtype = d.dtype
+    mid = det.material
+    p = det.point
+
+    mat_diffuse = st.mat_diffuse[mid]
+    mat_specular = st.mat_specular[mid]
+    mat_shininess = st.mat_shininess[mid]
+    mat_reflect = st.mat_reflectivity[mid]
+    mat_glossy = st.mat_glossy[mid]
+    mat_refr = st.mat_refraction[mid]
+    mat_tex = st.mat_tex_id[mid]
+    mat_nm = st.mat_normal_map_id[mid]
+    uv_trans = st.mat_uv_trans[mid]
+
+    view = -d
+    uv = _apply_uv_trans(uv_trans, det.uv)
+
+    # Shading normal: normal map override where available, else normalize.
+    n_geom = m3.normalize(det.normal, eps=1e-30)
+    if st.any_normal_map:
+        use_nm = (mat_nm >= 0) & det.has_nmt & det.has_uv
+        nm_texel = sample_atlas(st.nm_data, st.nm_meta, mat_nm, uv)
+        nm_vec = m3.normalize(_decode_normal_map(nm_texel), eps=1e-30)
+        n_mapped = m3.matvec3(det.nmt, nm_vec)
+        n = jnp.where(use_nm[..., None], n_mapped, n_geom)
+    else:
+        n = n_geom
+
+    # Diffuse color: texture override (material.rs:137-143).
+    diffuse_color = mat_diffuse
+    if st.any_image_tex:
+        img_texel = sample_atlas(st.tex_data, st.tex_meta, mat_tex, uv)
+        diffuse_color = jnp.where((mat_tex >= 0)[..., None], img_texel, diffuse_color)
+    for fi, fn in enumerate(st.fn_textures):
+        fn_mask = mat_tex == -(fi + 2)
+        diffuse_color = jnp.where(fn_mask[..., None], fn(uv).astype(dtype), diffuse_color)
+
+    color = st.ambient[None, :] * diffuse_color
+
+    # Secondary-ray start offset: EPSILON plus a relative term for f32
+    # robustness on large scenes (reference is f64 with plain EPSILON).
+    t_eps = jnp.maximum(
+        jnp.asarray(cfg.epsilon, dtype),
+        cfg.eps_rel * m3.norm(p),
+    ) if cfg.eps_rel else jnp.full((R,), cfg.epsilon, dtype)
+
+    for li in range(st.n_lights):
+        lpos = st.light_pos[li]
+        lcol = st.light_color[li]
+        c0, c1, c2 = st.light_falloff[li]
+        if st.area_flags[li]:
+            ab = _uniform(key, 1000 + 2 * li, (R, 2), dtype) * 2.0 - 1.0
+            lpos = lpos + ab[:, :1] * st.light_area_a[li] + ab[:, 1:] * st.light_area_b[li]
+        hit_to_light = lpos - p
+        light_dist = m3.norm(hit_to_light)
+        light_dir = hit_to_light / jnp.maximum(light_dist, 1e-30)[..., None]
+        attenuation = c0 + c1 * light_dist + c2 * light_dist * light_dist
+
+        occ = occluded(
+            p, light_dir, t_eps, jnp.inf, st, cfg,
+            src_node=hit.node, src_tri=hit.tri,
+        )
+
+        nl = jnp.maximum(m3.dot(n, light_dir), 0.0)
+        diffuse = diffuse_color * lcol[None, :] * nl[..., None]
+        half = m3.normalize(view + light_dir, eps=1e-30)
+        nh = jnp.maximum(m3.dot(n, half), 0.0) ** (4.0 * mat_shininess)
+        specular = mat_specular * lcol[None, :] * nh[..., None]
+        lit = (~occ)[..., None].astype(dtype)
+        color = color + lit * (diffuse + specular) / attenuation[..., None]
+
+    # ----- children ------------------------------------------------------
+    if not st.any_reflective:
+        zeros = jnp.zeros((R,), dtype)
+        children = Children(
+            origin=p, refl_dir=d, refl_mult=zeros, refr_dir=d, refr_mult=zeros
+        )
+        color = jnp.where(active[..., None], color, 0.0)
+        return color, children, t_eps
+
+    dn = m3.dot(d, n)
+    reflect_dir = d - 2.0 * dn[..., None] * n
+
+    # Glossy perturbation (material.rs:221-239).
+    if st.any_glossy:
+        has_glossy = mat_glossy > 0.0
+        aligned_z = (jnp.abs(reflect_dir[..., 0]) < cfg.epsilon) & (
+            jnp.abs(reflect_dir[..., 1]) < cfg.epsilon
+        )
+        offset = reflect_dir + jnp.where(
+            aligned_z[..., None],
+            jnp.array([0.0, 0.1, 0.0], dtype),
+            jnp.array([0.0, 0.0, 0.1], dtype),
+        )
+        u_basis = m3.cross(reflect_dir, offset)
+        v_basis = m3.cross(reflect_dir, u_basis)
+        uvc = _uniform(key, 2000, (R, 2), dtype)
+        u_coord = (-0.5 + uvc[:, 0]) * mat_glossy
+        v_coord = (-0.5 + uvc[:, 1]) * mat_glossy
+        glossy_dir = (
+            reflect_dir + u_coord[..., None] * u_basis + v_coord[..., None] * v_basis
+        )
+        reflect_dir = jnp.where(has_glossy[..., None], glossy_dir, reflect_dir)
+
+    has_refl = mat_reflect > 0.0
+
+    if st.any_refractive:
+        is_dielectric = mat_refr > 0.0
+        eta = jnp.where(is_dielectric, mat_refr, 1.0)
+        entering = dn < 0.0
+        # Entering (material.rs:253-264): refract(d, n, eta), eta_outside = 1.
+        under_e = 1.0 - (1.0 - dn * dn) / (eta * eta)
+        refr_e = (d - n * dn[..., None]) / eta[..., None] - n * jnp.sqrt(
+            jnp.maximum(under_e, 0.0)
+        )[..., None]
+        cos_e = -dn
+        # Exiting (material.rs:265-275): refract(d, -n, 1/eta) -> possible TIR.
+        under_x = 1.0 - (1.0 - dn * dn) * (eta * eta)
+        tir = under_x < 0.0
+        refr_x = (d - n * dn[..., None]) * eta[..., None] + n * jnp.sqrt(
+            jnp.maximum(under_x, 0.0)
+        )[..., None]
+        cos_x = m3.dot(refr_x, n)
+
+        refr_dir = jnp.where(entering[..., None], refr_e, refr_x)
+        cos_inc = jnp.where(entering, cos_e, cos_x)
+        r0 = ((eta - 1.0) / (eta + 1.0)) ** 2
+        schlick = r0 + (1.0 - r0) * (1.0 - cos_inc) ** 5
+        tir_exit = ~entering & tir
+
+        refl_mult = jnp.where(
+            is_dielectric,
+            jnp.where(tir_exit, mat_reflect, mat_reflect * schlick),
+            mat_reflect,
+        )
+        refr_mult = jnp.where(
+            is_dielectric & ~tir_exit, mat_reflect * (1.0 - schlick), 0.0
+        )
+    else:
+        refl_mult = mat_reflect
+        refr_mult = jnp.zeros((R,), dtype)
+        refr_dir = d
+
+    refl_mult = jnp.where(has_refl & active, refl_mult, 0.0)
+    refr_mult = jnp.where(has_refl & active, refr_mult, 0.0)
+
+    children = Children(
+        origin=p,
+        refl_dir=m3.normalize(reflect_dir, eps=1e-30),
+        refl_mult=refl_mult,
+        refr_dir=m3.normalize(refr_dir, eps=1e-30),
+        refr_mult=refr_mult,
+    )
+    color = jnp.where(active[..., None], color, 0.0)
+    return color, children, t_eps

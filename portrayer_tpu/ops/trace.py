@@ -1,0 +1,166 @@
+"""Wavefront bounce loop — the reference's depth-10 recursion
+(Ray::color -> Material::hit_color -> Ray::color, src/ray.rs:139-148)
+converted to iterative per-bounce queues (SURVEY §7 design inversion).
+
+Round r intersects & shades every live ray, accumulates the local radiance
+into a per-pixel framebuffer (segment scatter-add), and emits reflect/refract
+children into the next round's queue.  Queues have static capacity
+(`queue_factor` x primary rays); when a round would overflow, the
+lowest-throughput children are terminated with a background-colour fallback
+(exact for the reference's depth cut-off, which *also* returns the background
+at depth > 10, material.rs:102-104).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..scene.flatten import SceneTables
+from .intersect import intersect_scene, hit_detail
+from .shade import shade_hits
+
+
+class _Queue(NamedTuple):
+    o: jnp.ndarray        # [Q,3]
+    d: jnp.ndarray        # [Q,3]
+    w: jnp.ndarray        # [Q] throughput
+    pix: jnp.ndarray      # [Q] int32 pixel index
+    t_min: jnp.ndarray    # [Q] per-ray t-range start
+    src_node: jnp.ndarray # [Q] int32 node the ray spawned from (-1 primary)
+    src_tri: jnp.ndarray  # [Q] int32 triangle the ray spawned from
+
+
+def _round(
+    q: _Queue, acc, bg, st: SceneTables, cfg: RenderConfig, rkey, is_last,
+):
+    """Process one bounce round; returns (acc, children queue of size 2Q)."""
+    active = q.w > 0.0
+    hit = intersect_scene(
+        q.o, q.d, q.t_min, jnp.inf, st, cfg, active=active,
+        src_node=q.src_node, src_tri=q.src_tri,
+    )
+    det = hit_detail(q.o, q.d, hit, st, cfg, q.t_min)
+
+    bgc = bg[q.pix]                                   # [Q,3]
+    miss_w = jnp.where(active & ~hit.hit, q.w, 0.0)
+    acc = acc.at[q.pix].add(miss_w[:, None] * bgc)
+
+    local, children, t_eps = shade_hits(
+        q.d, hit, det, st, cfg, rkey, active & hit.hit
+    )
+    acc = acc.at[q.pix].add(q.w[:, None] * local)
+
+    w_refl = q.w * children.refl_mult
+    w_refr = q.w * children.refr_mult
+
+    # At the recursion depth limit every child evaluates to the background
+    # (material.rs:102-104) — fold that in directly instead of tracing.
+    last = jnp.asarray(is_last)
+    acc = acc.at[q.pix].add(
+        jnp.where(last, (w_refl + w_refr), 0.0)[:, None] * bgc
+    )
+    w_refl = jnp.where(last, 0.0, w_refl)
+    w_refr = jnp.where(last, 0.0, w_refr)
+
+    child = _Queue(
+        o=jnp.concatenate([children.origin, children.origin]),
+        d=jnp.concatenate([children.refl_dir, children.refr_dir]),
+        w=jnp.concatenate([w_refl, w_refr]),
+        pix=jnp.concatenate([q.pix, q.pix]),
+        t_min=jnp.concatenate([t_eps, t_eps]),
+        src_node=jnp.concatenate([hit.node, hit.node]),
+        src_tri=jnp.concatenate([hit.tri, hit.tri]),
+    )
+    return acc, child
+
+
+def _compact(child: _Queue, capacity: int, acc, bg):
+    """Fit a child queue into `capacity` slots.  If it already fits, pad.
+    Otherwise keep the highest-throughput children and terminate the rest
+    with a background-colour fallback (adds their would-be contribution as
+    bg so energy isn't silently dropped)."""
+    n = child.w.shape[0]
+    if n <= capacity:
+        pad = capacity - n
+        if pad:
+            child = _Queue(
+                o=jnp.pad(child.o, ((0, pad), (0, 0))),
+                d=jnp.pad(child.d, ((0, pad), (0, 0))),
+                w=jnp.pad(child.w, (0, pad)),
+                pix=jnp.pad(child.pix, (0, pad)),
+                t_min=jnp.pad(child.t_min, (0, pad), constant_values=1.0),
+                src_node=jnp.pad(child.src_node, (0, pad), constant_values=-1),
+                src_tri=jnp.pad(child.src_tri, (0, pad), constant_values=-1),
+            )
+        return child, acc
+    _, idx = jax.lax.top_k(child.w, capacity)
+    keep = jnp.zeros((n,), bool).at[idx].set(True)
+    dropped_w = jnp.where(keep, 0.0, child.w)
+    acc = acc.at[child.pix].add(dropped_w[:, None] * bg[child.pix])
+    take = lambda x: x[idx]
+    return _Queue(*map(take, child)), acc
+
+
+def trace(
+    key, o0, d0, pix0, bg, n_pixels: int, st: SceneTables, cfg: RenderConfig,
+):
+    """Trace primary rays through the scene.
+
+    o0, d0: [R,3] primary rays; pix0: [R] pixel index; bg: [P,3] per-pixel
+    background colour.  Returns acc [P,3]: the sum of per-sample radiances
+    scattered to their pixels (caller divides by spp).
+    """
+    R0 = o0.shape[0]
+    dtype = o0.dtype
+    acc = jnp.zeros((n_pixels, 3), dtype)
+
+    q = _Queue(
+        o=o0, d=d0,
+        w=jnp.ones((R0,), dtype),
+        pix=pix0,
+        t_min=jnp.full((R0,), cfg.epsilon, dtype),
+        src_node=jnp.full((R0,), -1, jnp.int32),
+        src_tri=jnp.full((R0,), -1, jnp.int32),
+    )
+
+    capacity = max(int(round(R0 * cfg.queue_factor)), 1)
+
+    # Scenes with no reflective material never spawn children — statically
+    # collapse to a single round (big compile/runtime saving).
+    max_depth = cfg.max_depth if st.any_reflective else 0
+
+    # Round 0 (primary rays).
+    acc, child = _round(q, acc, bg, st, cfg, jax.random.fold_in(key, 0),
+                        is_last=(max_depth == 0))
+    if max_depth == 0:
+        return acc
+
+    q, acc = _compact(child, capacity, acc, bg)
+
+    # Rounds 1..max_depth with early-exit when the queue dies out.
+    def body(carry, ridx):
+        q, acc = carry
+
+        def live(args):
+            q, acc = args
+            rkey = jax.random.fold_in(key, ridx)
+            acc2, child = _round(
+                q, acc, bg, st, cfg, rkey, is_last=(ridx == max_depth)
+            )
+            q2, acc2 = _compact(child, capacity, acc2, bg)
+            return q2, acc2
+
+        def dead(args):
+            return args
+
+        q, acc = jax.lax.cond(jnp.any(q.w > 0.0), live, dead, (q, acc))
+        return (q, acc), None
+
+    (q, acc), _ = jax.lax.scan(
+        body, (q, acc), jnp.arange(1, max_depth + 1)
+    )
+    return acc

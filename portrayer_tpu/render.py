@@ -1,0 +1,223 @@
+"""Render driver — tiled, sample-chunked wavefront rendering
+(the analogue of src/render.rs).
+
+Per pixel the reference computes: background gradient at integer pixel uv
+(render.rs:31-34), SAMPLES jittered camera rays traced recursively
+(render.rs:36-43), mean, gamma encode c^(1/2.2), clamp01, u8 truncation
+(render.rs:45-50,143-147).  Here the image is processed in static-shape
+pixel tiles x sample chunks; each launch traces tile_px*spp_chunk rays
+through the wavefront loop and scatter-adds radiance per pixel.  Tiles give
+bounded memory, natural multi-chip sharding, and incremental re-render of
+slices (the reference's Image::slice_mut checkpointing, render.rs:211-213).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import RenderConfig, GAMMA
+from .camera import Camera, CameraSettings
+from .scene.node import Scene
+from .scene.flatten import flatten_scene, SceneTables
+from .ops.trace import trace
+from .reporter import Reporter, NullProgress
+
+
+def default_background(uv):
+    """Flat black background (callers usually pass a gradient fn)."""
+    return jnp.zeros(uv.shape[:-1] + (3,), uv.dtype)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "background", "tile_h", "tile_w", "spp",
+        "width", "height", "aspect", "fov_factor",
+    ),
+)
+def _render_tile(
+    key, st: SceneTables, eye, view_to_world, x0, y0,
+    *, cfg: RenderConfig, background, tile_h: int, tile_w: int, spp: int,
+    width: float, height: float, aspect: float, fov_factor: float,
+):
+    dtype = cfg.dtype
+    P = tile_h * tile_w
+    R = P * spp
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+    px = (col + x0).reshape(-1)  # [P] integer pixel x
+    py = (row + y0).reshape(-1)
+
+    # Background at integer-pixel uv (render.rs:31-34).
+    bg_uv = jnp.stack(
+        [px.astype(dtype) / width, py.astype(dtype) / height], axis=-1
+    )
+    bg = background(bg_uv).astype(dtype)  # [P,3]
+
+    # Jittered sample positions (render.rs:38-39): x + U[0,1).
+    jitter = jax.random.uniform(jax.random.fold_in(key, 0), (R, 2), dtype)
+    xs = jnp.repeat(px.astype(dtype), spp) + jitter[:, 0]
+    ys = jnp.repeat(py.astype(dtype), spp) + jitter[:, 1]
+    pix_id = jnp.repeat(jnp.arange(P, dtype=jnp.int32), spp)
+
+    # Camera rays (camera.rs:48-84).
+    ndc_x = xs / width
+    ndc_y = ys / height
+    view_x = (2.0 * ndc_x - 1.0) * aspect * fov_factor
+    view_y = (1.0 - 2.0 * ndc_y) * fov_factor
+    pixel_view = jnp.stack([view_x, view_y, -jnp.ones_like(view_x)], axis=-1)
+    # Elementwise (VPU f32) rather than einsum — see math3d note on TPU
+    # bf16 dot precision.
+    pixel_world = (
+        jnp.sum(view_to_world[None, :, :3] * pixel_view[:, None, :], axis=-1)
+        + view_to_world[:, 3]
+    )
+    delta = pixel_world - eye
+    d = delta / jnp.sqrt(jnp.sum(delta * delta, axis=-1, keepdims=True))
+    o = jnp.broadcast_to(eye, d.shape).astype(dtype)
+
+    acc = trace(jax.random.fold_in(key, 1), o, d, pix_id, bg, P, st, cfg)
+    return acc  # [P,3] radiance sums (divide by total spp at finalize)
+
+
+def render_linear(
+    scene_or_tables,
+    camera: CameraSettings,
+    size: Tuple[int, int],
+    background: Callable = default_background,
+    cfg: RenderConfig = RenderConfig(),
+    region: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,
+    reporter: Optional[Reporter] = None,
+) -> np.ndarray:
+    """Render and return the *linear* mean-radiance image [H,W,3] float.
+
+    `region` = ((x1,y1),(x2,y2)) inclusive slice to render (others zero)."""
+    width, height = size
+    if isinstance(scene_or_tables, SceneTables):
+        st = scene_or_tables
+    else:
+        st = flatten_scene(scene_or_tables, dtype=cfg.dtype)
+
+    cam = Camera(camera, (width, height), dtype=cfg.dtype)
+    samples = cfg.resolved_samples()
+
+    tile_h = min(cfg.tile[0], height)
+    tile_w = min(cfg.tile[1], width)
+    spp_chunk = max(1, min(samples, cfg.max_rays_per_launch // (tile_h * tile_w)))
+    chunks = [spp_chunk] * (samples // spp_chunk)
+    if samples % spp_chunk:
+        chunks.append(samples % spp_chunk)
+
+    if region is None:
+        x_lo, y_lo, x_hi, y_hi = 0, 0, width - 1, height - 1
+    else:
+        (x_lo, y_lo), (x_hi, y_hi) = region
+
+    n_ty = -(-height // tile_h)
+    n_tx = -(-width // tile_w)
+    reporter = reporter or NullProgress(0)
+    reporter.start(total=n_ty * n_tx)
+
+    base_key = jax.random.PRNGKey(cfg.seed)
+    zeros_tile = None
+
+    # Accumulate the whole image on device; transfer to host exactly once
+    # (device<->host roundtrips are the expensive resource).
+    rows = []
+    for ty in range(n_ty):
+        row_tiles = []
+        for tx in range(n_tx):
+            tx0, ty0 = tx * tile_w, ty * tile_h
+            # Skip tiles fully outside the slice region.
+            if tx0 > x_hi or ty0 > y_hi or tx0 + tile_w - 1 < x_lo or ty0 + tile_h - 1 < y_lo:
+                if zeros_tile is None:
+                    zeros_tile = jnp.zeros((tile_h, tile_w, 3), cfg.dtype)
+                row_tiles.append(zeros_tile)
+                reporter.tick()
+                continue
+            tkey = jax.random.fold_in(base_key, ty * n_tx + tx)
+            acc = None
+            for ci, spp in enumerate(chunks):
+                ckey = jax.random.fold_in(tkey, ci)
+                part = _render_tile(
+                    ckey, st, cam.eye, cam.view_to_world,
+                    jnp.int32(tx0), jnp.int32(ty0),
+                    cfg=cfg, background=background,
+                    tile_h=tile_h, tile_w=tile_w, spp=spp,
+                    width=cam.width, height=cam.height,
+                    aspect=cam.aspect, fov_factor=cam.fov_factor,
+                )
+                acc = part if acc is None else acc + part
+            row_tiles.append((acc / samples).reshape(tile_h, tile_w, 3))
+            reporter.tick()
+        rows.append(jnp.concatenate(row_tiles, axis=1))
+    image_dev = jnp.concatenate(rows, axis=0)[:height, :width]
+    out = np.asarray(image_dev, dtype=np.float64)
+    reporter.finish()
+    return out
+
+
+def finalize(linear: np.ndarray) -> np.ndarray:
+    """Gamma-encode + clamp (render.rs:47-50). Returns float [H,W,3] 0..1."""
+    return np.clip(np.maximum(linear, 0.0) ** (1.0 / GAMMA), 0.0, 1.0)
+
+
+def to_u8(img01: np.ndarray) -> np.ndarray:
+    """u8 quantization by truncation, like `(c * 255.0) as u8`
+    (render.rs:143-147)."""
+    return (img01 * 255.0).astype(np.uint8)
+
+
+class Image:
+    """Mirrors the reference's Image (src/render.rs:154-224): opens an
+    existing PNG of matching size (slice re-render keeps the rest), renders
+    scenes, saves PNGs."""
+
+    def __init__(self, path, width: int, height: int):
+        self.path = path
+        self.width = width
+        self.height = height
+        self.buffer = np.zeros((height, width, 3), dtype=np.uint8)
+        if path is not None and os.path.exists(path):
+            from PIL import Image as PILImage
+
+            img = PILImage.open(path).convert("RGB")
+            if img.size == (width, height):
+                self.buffer = np.asarray(img, dtype=np.uint8).copy()
+
+    def render(
+        self, scene: Scene, camera: CameraSettings,
+        background: Callable = default_background,
+        cfg: RenderConfig = RenderConfig(),
+        region=None, reporter: Optional[Reporter] = None,
+    ):
+        linear = render_linear(
+            scene, camera, (self.width, self.height), background, cfg,
+            region=region, reporter=reporter,
+        )
+        u8 = to_u8(finalize(linear))
+        if region is None:
+            self.buffer = u8
+        else:
+            (x1, y1), (x2, y2) = region
+            self.buffer[y1:y2 + 1, x1:x2 + 1] = u8[y1:y2 + 1, x1:x2 + 1]
+        return self
+
+    def slice_render(self, top_left, bottom_right, *args, **kwargs):
+        return self.render(*args, region=(top_left, bottom_right), **kwargs)
+
+    def save(self):
+        return self.save_as(self.path)
+
+    def save_as(self, path):
+        from PIL import Image as PILImage
+
+        PILImage.fromarray(self.buffer, mode="RGB").save(path)
+        return path

@@ -1,0 +1,6 @@
+from .node import Scene, SceneNode, Geometry, Sphere, Cube, Plane, Cylinder, Cone
+from .material import Material
+from .light import Light, Falloff, Parallelogram
+from .mesh import Mesh, KDMesh, MeshData, Shading, Triangle
+from .texture import Texture, ImageTexture, NormalMap
+from .flatten import flatten_scene, SceneTables

@@ -1,0 +1,415 @@
+"""Lower a hierarchical Scene to flat device tables.
+
+The analogue of the reference's FlatScene pass (src/flat_scene.rs:18-46): a
+BFS over the node tree composing transforms (parent @ node), dropping
+geometry-less nodes and duplicating instanced *nodes* — while keeping mesh
+*triangle data* shared between instances.  The result is a pytree of jnp
+arrays (SoA), grouped contiguously by primitive kind so the intersection
+sweep can run one vectorized kernel per kind.
+
+Every node carries: world->local affine, local->world affine, the normal
+matrix (inv-transpose 3x3, src/scene.rs:204), material id, and — for meshes —
+a (tri_start, tri_count) range into the shared triangle soup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from .. import math3d as m3
+from .node import Scene, SceneNode, Sphere, Plane, Cube, Cylinder, Cone
+from .mesh import Mesh, Triangle, Shading
+from .texture import Texture, ImageTexture, NormalMap
+
+# Primitive kind codes (order = group order in the tables).
+SPHERE, PLANE, CUBE, CYLINDER, CONE, MESH = range(6)
+KIND_NAMES = ("sphere", "plane", "cube", "cylinder", "cone", "mesh")
+
+
+@struct.dataclass
+class SceneTables:
+    # --- per-node (grouped by kind) ---
+    trans: jnp.ndarray        # [N,3,4] local->world
+    inv: jnp.ndarray          # [N,3,4] world->local
+    normal_mat: jnp.ndarray   # [N,3,3]
+    material_id: jnp.ndarray  # [N] int32
+    mesh_range: jnp.ndarray   # [N,2] int32 (tri_start, tri_count); zeros if not mesh
+    aabb_min: jnp.ndarray     # [N,3] world-space AABB (8-corner transform,
+    aabb_max: jnp.ndarray     # [N,3]  src/bounding_box.rs:123-148)
+    # --- mesh triangle soup (shared across instances) ---
+    tri_a: jnp.ndarray        # [T,3]
+    tri_b: jnp.ndarray        # [T,3]
+    tri_c: jnp.ndarray        # [T,3]
+    tri_na: jnp.ndarray       # [T,3] vertex normals (zeros when flat)
+    tri_nb: jnp.ndarray       # [T,3]
+    tri_nc: jnp.ndarray       # [T,3]
+    tri_smooth: jnp.ndarray   # [T] bool — interpolate vertex normals
+    tri_uva: jnp.ndarray      # [T,2]
+    tri_uvb: jnp.ndarray      # [T,2]
+    tri_uvc: jnp.ndarray      # [T,2]
+    tri_has_uv: jnp.ndarray   # [T] bool
+    # instance-triangle pair lists for the brute-force sweep
+    pair_node: jnp.ndarray    # [P] int32 node id
+    pair_tri: jnp.ndarray     # [P] int32 tri id
+    # --- materials ---
+    mat_diffuse: jnp.ndarray       # [M,3]
+    mat_specular: jnp.ndarray      # [M,3]
+    mat_shininess: jnp.ndarray     # [M]
+    mat_reflectivity: jnp.ndarray  # [M]
+    mat_glossy: jnp.ndarray        # [M]
+    mat_refraction: jnp.ndarray    # [M]
+    mat_uv_trans: jnp.ndarray      # [M,3,3]
+    mat_tex_id: jnp.ndarray        # [M] int32: -1 none; >=0 image; <=-2 fn id -(v+2)
+    mat_normal_map_id: jnp.ndarray # [M] int32: -1 none
+    # --- lights ---
+    light_pos: jnp.ndarray     # [L,3]
+    light_color: jnp.ndarray   # [L,3]
+    light_falloff: jnp.ndarray # [L,3] (c0,c1,c2)
+    light_area_a: jnp.ndarray  # [L,3]
+    light_area_b: jnp.ndarray  # [L,3]
+    light_is_area: jnp.ndarray # [L] bool
+    ambient: jnp.ndarray       # [3]
+    # --- texture atlases ---
+    tex_data: jnp.ndarray      # [Ptex,3] linearized image texels
+    tex_meta: jnp.ndarray      # [K,3] int32 (offset, width, height)
+    nm_data: jnp.ndarray       # [Pnm,3] raw normal-map texels
+    nm_meta: jnp.ndarray       # [Knm,3] int32
+    # --- static metadata (not traced) ---
+    groups: Tuple[Tuple[int, int, int], ...] = struct.field(pytree_node=False)
+    fn_textures: Tuple[Callable, ...] = struct.field(pytree_node=False)
+    n_lights: int = struct.field(pytree_node=False)
+    # Per-light static flag: parallelogram area light (soft shadows)?
+    area_flags: Tuple[bool, ...] = struct.field(pytree_node=False)
+    # Does any material reflect/refract?  (statically gates bounce rounds)
+    any_reflective: bool = struct.field(pytree_node=False)
+    any_refractive: bool = struct.field(pytree_node=False)
+    # Does any material use glossy reflection / textures / normal maps?
+    any_glossy: bool = struct.field(pytree_node=False)
+    any_image_tex: bool = struct.field(pytree_node=False)
+    any_normal_map: bool = struct.field(pytree_node=False)
+
+    @property
+    def n_nodes(self) -> int:
+        return self.trans.shape[0]
+
+    @property
+    def n_pairs(self) -> int:
+        return self.pair_node.shape[0]
+
+    def group(self, kind: int) -> Tuple[int, int]:
+        for k, start, count in self.groups:
+            if k == kind:
+                return start, count
+        return 0, 0
+
+
+@dataclasses.dataclass
+class _FlatNode:
+    kind: int
+    trans: np.ndarray  # 4x4
+    material: Any
+    tri_range: Tuple[int, int] = (0, 0)
+    local_min: np.ndarray = None
+    local_max: np.ndarray = None
+
+
+# Local-space bounds per primitive kind (src/primitive/*.rs Bounds impls).
+_LOCAL_BOUNDS = {
+    SPHERE: (np.full(3, -1.0), np.full(3, 1.0)),
+    PLANE: (np.array([-0.5, 0.0, -0.5]), np.array([0.5, 0.0, 0.5])),
+    CUBE: (np.full(3, -0.5), np.full(3, 0.5)),
+    CYLINDER: (np.array([-0.5, -0.5, -0.5]), np.array([0.5, 0.5, 0.5])),
+    CONE: (np.array([-0.5, -0.5, -0.5]), np.array([0.5, 0.5, 0.5])),
+}
+
+
+def _world_aabb(trans4, lmin, lmax):
+    corners = np.array(
+        [[x, y, z] for x in (lmin[0], lmax[0]) for y in (lmin[1], lmax[1]) for z in (lmin[2], lmax[2])]
+    )
+    world = corners @ trans4[:3, :3].T + trans4[:3, 3]
+    return world.min(axis=0), world.max(axis=0)
+
+
+def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
+    flat: List[_FlatNode] = []
+
+    # Triangle soup accumulators; mesh/triangle primitives share ranges.
+    tri_rows: List[Tuple] = []  # (a,b,c, na,nb,nc, smooth, uva,uvb,uvc, has_uv)
+    tri_range_cache: Dict[Tuple[int, Any], Tuple[int, int]] = {}
+
+    def mesh_tri_range(mesh: Mesh) -> Tuple[int, int]:
+        key = (id(mesh.data), mesh.shading)
+        if key in tri_range_cache:
+            return tri_range_cache[key]
+        start = len(tri_rows)
+        d = mesh.data
+        smooth = mesh.shading == Shading.Smooth
+        has_uv = len(d.tex_coords) > 0
+        zeros3 = np.zeros(3)
+        zeros2 = np.zeros(2)
+        for (ia, ib, ic) in d.triangles:
+            tri_rows.append(
+                (
+                    d.positions[ia], d.positions[ib], d.positions[ic],
+                    d.normals[ia] if smooth else zeros3,
+                    d.normals[ib] if smooth else zeros3,
+                    d.normals[ic] if smooth else zeros3,
+                    smooth,
+                    d.tex_coords[ia] if has_uv else zeros2,
+                    d.tex_coords[ib] if has_uv else zeros2,
+                    d.tex_coords[ic] if has_uv else zeros2,
+                    has_uv,
+                )
+            )
+        rng = (start, len(tri_rows) - start)
+        tri_range_cache[key] = rng
+        return rng
+
+    def triangle_tri_range(tri: Triangle) -> Tuple[int, int]:
+        start = len(tri_rows)
+        smooth = tri.normals is not None
+        has_uv = tri.tex_coords is not None
+        zeros3 = np.zeros(3)
+        zeros2 = np.zeros(2)
+        n = tri.normals if smooth else (zeros3, zeros3, zeros3)
+        t = tri.tex_coords if has_uv else (zeros2, zeros2, zeros2)
+        tri_rows.append(
+            (tri.a, tri.b, tri.c, n[0], n[1], n[2], smooth, t[0], t[1], t[2], has_uv)
+        )
+        return (start, 1)
+
+    # BFS flatten, composing transforms (flat_scene.rs:27-40).
+    queue: List[Tuple[np.ndarray, SceneNode]] = [(m3.identity4(), scene.root)]
+    while queue:
+        parent_trans, node = queue.pop(0)
+        total = parent_trans @ node.trans
+        if node.geometry is not None:
+            prim = node.geometry.primitive
+            mat = node.geometry.material
+            if isinstance(prim, Sphere):
+                flat.append(_FlatNode(SPHERE, total, mat))
+            elif isinstance(prim, Plane):
+                flat.append(_FlatNode(PLANE, total, mat))
+            elif isinstance(prim, Cube):
+                flat.append(_FlatNode(CUBE, total, mat))
+            elif isinstance(prim, Cylinder):
+                flat.append(_FlatNode(CYLINDER, total, mat))
+            elif isinstance(prim, Cone):
+                flat.append(_FlatNode(CONE, total, mat))
+            elif isinstance(prim, Mesh):
+                rng = mesh_tri_range(prim)
+                flat.append(
+                    _FlatNode(
+                        MESH, total, mat, rng,
+                        prim.data.bounds_min, prim.data.bounds_max,
+                    )
+                )
+            elif isinstance(prim, Triangle):
+                rng = triangle_tri_range(prim)
+                verts = np.stack([prim.a, prim.b, prim.c])
+                flat.append(
+                    _FlatNode(
+                        MESH, total, mat, rng,
+                        verts.min(axis=0), verts.max(axis=0),
+                    )
+                )
+            else:
+                raise TypeError(f"Unsupported primitive: {prim!r}")
+        for child in node.children:
+            queue.append((total, child))
+
+    # Group nodes by kind (stable within kind = BFS order).
+    flat.sort(key=lambda fn_: fn_.kind)
+    groups = []
+    start = 0
+    for kind in range(6):
+        count = sum(1 for f in flat if f.kind == kind)
+        if count:
+            groups.append((kind, start, count))
+        start += count
+
+    # Materials / textures / normal maps: unique by identity.
+    materials: List[Any] = []
+    mat_index: Dict[int, int] = {}
+    for f in flat:
+        if id(f.material) not in mat_index:
+            mat_index[id(f.material)] = len(materials)
+            materials.append(f.material)
+
+    image_textures: List[ImageTexture] = []
+    img_index: Dict[int, int] = {}
+    fn_textures: List[Callable] = []
+    fn_index: Dict[int, int] = {}
+    normal_maps: List[NormalMap] = []
+    nm_index: Dict[int, int] = {}
+
+    def tex_code(tex) -> int:
+        if tex is None:
+            return -1
+        if not isinstance(tex, Texture):
+            tex = Texture(tex)
+        if tex.is_image:
+            img = tex.image
+            if id(img) not in img_index:
+                img_index[id(img)] = len(image_textures)
+                image_textures.append(img)
+            return img_index[id(img)]
+        fn = tex.fn
+        if id(fn) not in fn_index:
+            fn_index[id(fn)] = len(fn_textures)
+            fn_textures.append(fn)
+        return -(fn_index[id(fn)] + 2)
+
+    def nm_code(nm) -> int:
+        if nm is None:
+            return -1
+        if id(nm) not in nm_index:
+            nm_index[id(nm)] = len(normal_maps)
+            normal_maps.append(nm)
+        return nm_index[id(nm)]
+
+    M = max(len(materials), 1)
+    mat_diffuse = np.zeros((M, 3))
+    mat_specular = np.zeros((M, 3))
+    mat_shininess = np.zeros(M)
+    mat_reflectivity = np.zeros(M)
+    mat_glossy = np.zeros(M)
+    mat_refraction = np.zeros(M)
+    mat_uv_trans = np.tile(np.eye(3), (M, 1, 1))
+    mat_tex_id = np.full(M, -1, dtype=np.int32)
+    mat_nm_id = np.full(M, -1, dtype=np.int32)
+    for i, m in enumerate(materials):
+        mat_diffuse[i] = m.diffuse
+        mat_specular[i] = m.specular
+        mat_shininess[i] = m.shininess
+        mat_reflectivity[i] = m.reflectivity
+        mat_glossy[i] = m.glossy_side_length
+        mat_refraction[i] = m.refraction_index
+        if m.uv_trans is not None:
+            mat_uv_trans[i] = m.uv_trans
+        mat_tex_id[i] = tex_code(m.texture)
+        mat_nm_id[i] = nm_code(m.normals)
+
+    # Node tables.
+    N = max(len(flat), 1)
+    trans = np.tile(np.eye(3, 4), (N, 1, 1))
+    inv = np.tile(np.eye(3, 4), (N, 1, 1))
+    normal_mat = np.tile(np.eye(3), (N, 1, 1))
+    material_id = np.zeros(N, dtype=np.int32)
+    mesh_range = np.zeros((N, 2), dtype=np.int32)
+    aabb_min = np.zeros((N, 3))
+    aabb_max = np.zeros((N, 3))
+    pair_node: List[int] = []
+    pair_tri: List[int] = []
+    for i, f in enumerate(flat):
+        t4 = f.trans
+        trans[i] = m3.to_affine34(t4)
+        inv[i] = m3.to_affine34(m3.invert(t4))
+        normal_mat[i] = m3.normal_matrix(m3.invert(t4))
+        material_id[i] = mat_index[id(f.material)]
+        if f.kind == MESH:
+            mesh_range[i] = f.tri_range
+            lmin, lmax = f.local_min, f.local_max
+            for tj in range(f.tri_range[0], f.tri_range[0] + f.tri_range[1]):
+                pair_node.append(i)
+                pair_tri.append(tj)
+        else:
+            lmin, lmax = _LOCAL_BOUNDS[f.kind]
+        aabb_min[i], aabb_max[i] = _world_aabb(t4, lmin, lmax)
+
+    # Triangle arrays.
+    T = max(len(tri_rows), 1)
+    tri = {
+        "tri_a": np.zeros((T, 3)), "tri_b": np.zeros((T, 3)), "tri_c": np.zeros((T, 3)),
+        "tri_na": np.zeros((T, 3)), "tri_nb": np.zeros((T, 3)), "tri_nc": np.zeros((T, 3)),
+        "tri_smooth": np.zeros(T, dtype=bool),
+        "tri_uva": np.zeros((T, 2)), "tri_uvb": np.zeros((T, 2)), "tri_uvc": np.zeros((T, 2)),
+        "tri_has_uv": np.zeros(T, dtype=bool),
+    }
+    for j, row in enumerate(tri_rows):
+        (a, b, c, na, nb, nc, sm, uva, uvb, uvc, huv) = row
+        tri["tri_a"][j], tri["tri_b"][j], tri["tri_c"][j] = a, b, c
+        tri["tri_na"][j], tri["tri_nb"][j], tri["tri_nc"][j] = na, nb, nc
+        tri["tri_smooth"][j] = sm
+        tri["tri_uva"][j], tri["tri_uvb"][j], tri["tri_uvc"][j] = uva, uvb, uvc
+        tri["tri_has_uv"][j] = huv
+
+    # Lights.
+    L = max(len(scene.lights), 1)
+    light_pos = np.zeros((L, 3))
+    light_color = np.zeros((L, 3))
+    light_falloff = np.tile(np.array([1.0, 0.0, 0.0]), (L, 1))
+    light_area_a = np.zeros((L, 3))
+    light_area_b = np.zeros((L, 3))
+    light_is_area = np.zeros(L, dtype=bool)
+    for i, lt in enumerate(scene.lights):
+        light_pos[i] = lt.position
+        light_color[i] = lt.color
+        light_falloff[i] = (lt.falloff.c0, lt.falloff.c1, lt.falloff.c2)
+        light_area_a[i] = lt.area.a
+        light_area_b[i] = lt.area.b
+        light_is_area[i] = not lt.area.is_empty()
+
+    # Texture atlases.
+    def build_atlas(images: List, attr: str):
+        if not images:
+            return np.zeros((1, 3)), np.zeros((1, 3), dtype=np.int32)
+        metas, chunks, off = [], [], 0
+        for img in images:
+            data = getattr(img, attr)
+            h, w = data.shape[:2]
+            metas.append((off, w, h))
+            chunks.append(data.reshape(-1, 3))
+            off += h * w
+        return np.concatenate(chunks, axis=0), np.asarray(metas, dtype=np.int32)
+
+    tex_data, tex_meta = build_atlas(image_textures, "linear")
+    nm_data, nm_meta = build_atlas(normal_maps, "raw")
+
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+    i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
+    b8 = lambda x: jnp.asarray(x, dtype=jnp.bool_)
+
+    return SceneTables(
+        trans=f(trans), inv=f(inv), normal_mat=f(normal_mat),
+        material_id=i32(material_id), mesh_range=i32(mesh_range),
+        aabb_min=f(aabb_min), aabb_max=f(aabb_max),
+        tri_a=f(tri["tri_a"]), tri_b=f(tri["tri_b"]), tri_c=f(tri["tri_c"]),
+        tri_na=f(tri["tri_na"]), tri_nb=f(tri["tri_nb"]), tri_nc=f(tri["tri_nc"]),
+        tri_smooth=b8(tri["tri_smooth"]),
+        tri_uva=f(tri["tri_uva"]), tri_uvb=f(tri["tri_uvb"]), tri_uvc=f(tri["tri_uvc"]),
+        tri_has_uv=b8(tri["tri_has_uv"]),
+        pair_node=i32(pair_node if pair_node else [0]),
+        pair_tri=i32(pair_tri if pair_tri else [0]) if pair_tri else i32([0]),
+        mat_diffuse=f(mat_diffuse), mat_specular=f(mat_specular),
+        mat_shininess=f(mat_shininess), mat_reflectivity=f(mat_reflectivity),
+        mat_glossy=f(mat_glossy), mat_refraction=f(mat_refraction),
+        mat_uv_trans=f(mat_uv_trans), mat_tex_id=i32(mat_tex_id),
+        mat_normal_map_id=i32(mat_nm_id),
+        light_pos=f(light_pos), light_color=f(light_color),
+        light_falloff=f(light_falloff),
+        light_area_a=f(light_area_a), light_area_b=f(light_area_b),
+        light_is_area=b8(light_is_area),
+        ambient=f(scene.ambient),
+        tex_data=f(tex_data), tex_meta=i32(tex_meta),
+        nm_data=f(nm_data), nm_meta=i32(nm_meta),
+        groups=tuple(groups),
+        fn_textures=tuple(fn_textures),
+        n_lights=len(scene.lights),
+        area_flags=tuple(not lt.area.is_empty() for lt in scene.lights),
+        any_reflective=any(m.reflectivity > 0.0 for m in materials),
+        any_refractive=any(
+            m.reflectivity > 0.0 and m.refraction_index > 0.0 for m in materials
+        ),
+        any_glossy=any(
+            m.reflectivity > 0.0 and m.glossy_side_length > 0.0 for m in materials
+        ),
+        any_image_tex=len(image_textures) > 0,
+        any_normal_map=len(normal_maps) > 0,
+    )
