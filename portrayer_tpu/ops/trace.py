@@ -107,12 +107,14 @@ def _compact(child: _Queue, capacity: int, acc, bg):
 
 def trace(
     key, o0, d0, pix0, bg, n_pixels: int, st: SceneTables, cfg: RenderConfig,
+    w0=None,
 ):
     """Trace primary rays through the scene.
 
     o0, d0: [R,3] primary rays; pix0: [R] pixel index; bg: [P,3] per-pixel
-    background colour.  Returns acc [P,3]: the sum of per-sample radiances
-    scattered to their pixels (caller divides by spp).
+    background colour; w0: optional [R] initial throughput (0 = dead lane).
+    Returns acc [P,3]: the sum of per-sample radiances scattered to their
+    pixels (caller divides by spp).
     """
     R0 = o0.shape[0]
     dtype = o0.dtype
@@ -120,7 +122,7 @@ def trace(
 
     q = _Queue(
         o=o0, d=d0,
-        w=jnp.ones((R0,), dtype),
+        w=jnp.ones((R0,), dtype) if w0 is None else w0,
         pix=pix0,
         t_min=jnp.full((R0,), cfg.epsilon, dtype),
         src_node=jnp.full((R0,), -1, jnp.int32),

@@ -1,0 +1,3 @@
+from .sharding import (
+    make_mesh, trace_sharded, train_step, split_params, DIFF_FIELDS, RAY_AXIS,
+)

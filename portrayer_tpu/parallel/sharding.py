@@ -1,0 +1,100 @@
+"""Multi-chip execution: rays sharded over a device mesh, scene replicated.
+
+The reference parallelizes with a rayon work-stealing pool over pixels
+(src/render.rs:127-150) in one shared-memory process.  The TPU-native
+equivalent (SURVEY §2 parallelism table) is SPMD data parallelism over the
+ray/sample grid: each chip traces a shard of the rays against a replicated
+scene table, accumulates a partial framebuffer, and a `psum` over the mesh
+axis combines tiles — the only cross-chip communication in the forward
+pass.  The backward pass (differentiable rendering) reuses the same psum
+for gradient all-reduce via shard_map's AD transpose.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import RenderConfig
+from ..scene.flatten import SceneTables
+from ..ops.trace import trace
+
+RAY_AXIS = "rays"
+
+# Scene/material arrays a differentiable render step takes gradients for.
+DIFF_FIELDS = (
+    "mat_diffuse", "mat_specular", "mat_reflectivity", "mat_shininess",
+    "light_color", "light_pos", "ambient",
+)
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = RAY_AXIS) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def trace_sharded(
+    mesh: Mesh, key, o, d, pix, bg, n_pixels: int,
+    st: SceneTables, cfg: RenderConfig,
+):
+    """Trace rays [R,3] sharded over the mesh's ray axis.
+
+    R must be divisible by the mesh size.  Returns the replicated
+    framebuffer accumulation [n_pixels, 3] (sum over all rays)."""
+    axis = mesh.axis_names[0]
+    st_specs = jax.tree_util.tree_map(lambda _: P(), st)
+
+    def fwd(key, o, d, pix, bg, st):
+        # Decorrelate per-shard sampling.
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        acc = trace(key, o, d, pix, bg, n_pixels, st, cfg)
+        return jax.lax.psum(acc, axis)
+
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(), st_specs),
+        out_specs=P(),
+    )
+    # Disable the replication/varying-axis checker: the wavefront loop's
+    # scan carries start replicated and become per-shard varying, which the
+    # static checker can't express without pcasts sprinkled everywhere.
+    try:
+        sharded = shard_map(fwd, check_vma=False, **kwargs)
+    except TypeError:
+        sharded = shard_map(fwd, check_rep=False, **kwargs)
+    return sharded(key, o, d, pix, bg, st)
+
+
+def split_params(st: SceneTables) -> Tuple[dict, SceneTables]:
+    """Split the differentiable arrays out of the scene tables."""
+    params = {f: getattr(st, f) for f in DIFF_FIELDS}
+    return params, st
+
+
+def train_step(
+    mesh: Mesh, key, o, d, pix, bg, n_pixels: int, spp: int, target,
+    st: SceneTables, cfg: RenderConfig,
+):
+    """One differentiable render-and-fit step over the device mesh.
+
+    loss = MSE(mean-radiance image, target); returns (loss, grads) where
+    grads covers DIFF_FIELDS.  Gradients flow through the full wavefront
+    bounce loop; the psum in trace_sharded transposes into the gradient
+    all-reduce."""
+    params, _ = split_params(st)
+
+    def loss_fn(params):
+        st2 = st.replace(**params)
+        acc = trace_sharded(mesh, key, o, d, pix, bg, n_pixels, st2, cfg)
+        img = acc / spp
+        return jnp.mean((img - target) ** 2)
+
+    return jax.value_and_grad(loss_fn)(params)

@@ -34,18 +34,13 @@ def default_background(uv):
     return jnp.zeros(uv.shape[:-1] + (3,), uv.dtype)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "cfg", "background", "tile_h", "tile_w", "spp",
-        "width", "height", "aspect", "fov_factor",
-    ),
-)
-def _render_tile(
-    key, st: SceneTables, eye, view_to_world, x0, y0,
+def _tile_chunk(
+    key, st: SceneTables, eye, view_to_world, x0, y0, sample_offset,
     *, cfg: RenderConfig, background, tile_h: int, tile_w: int, spp: int,
-    width: float, height: float, aspect: float, fov_factor: float,
+    samples: int, width: float, height: float, aspect: float,
+    fov_factor: float,
 ):
+    """Trace one (tile x sample-chunk) wavefront; returns acc [P,3]."""
     dtype = cfg.dtype
     P = tile_h * tile_w
     R = P * spp
@@ -66,6 +61,9 @@ def _render_tile(
     xs = jnp.repeat(px.astype(dtype), spp) + jitter[:, 0]
     ys = jnp.repeat(py.astype(dtype), spp) + jitter[:, 1]
     pix_id = jnp.repeat(jnp.arange(P, dtype=jnp.int32), spp)
+    # Samples beyond the requested count (chunk padding) carry zero weight.
+    sample_ix = jax.lax.broadcasted_iota(jnp.int32, (P, spp), 1).reshape(-1)
+    live = (sample_ix + sample_offset) < samples
 
     # Camera rays (camera.rs:48-84).
     ndc_x = xs / width
@@ -83,8 +81,53 @@ def _render_tile(
     d = delta / jnp.sqrt(jnp.sum(delta * delta, axis=-1, keepdims=True))
     o = jnp.broadcast_to(eye, d.shape).astype(dtype)
 
-    acc = trace(jax.random.fold_in(key, 1), o, d, pix_id, bg, P, st, cfg)
+    acc = trace(
+        jax.random.fold_in(key, 1), o, d, pix_id, bg, P, st, cfg,
+        w0=live.astype(dtype),
+    )
     return acc  # [P,3] radiance sums (divide by total spp at finalize)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "background", "tile_h", "tile_w", "spp", "n_chunks",
+        "samples", "width", "height", "aspect", "fov_factor", "grid",
+    ),
+)
+def _render_image(
+    key, st: SceneTables, eye, view_to_world,
+    *, cfg: RenderConfig, background, tile_h: int, tile_w: int, spp: int,
+    n_chunks: int, samples: int, width: float, height: float,
+    aspect: float, fov_factor: float, grid,
+):
+    """Render every tile in `grid` (static tuple of (x0, y0) origins) in a
+    single device dispatch: lax.map over tiles, fori_loop over sample
+    chunks.  Returns [T, tile_h, tile_w, 3] mean radiance."""
+    dtype = cfg.dtype
+    P = tile_h * tile_w
+    origins = jnp.asarray(grid, jnp.int32)  # [T,2] (x0, y0)
+
+    def tile_fn(tix):
+        origin = origins[tix]
+        # Key by tile *origin* so a slice re-render reproduces exactly the
+        # same samples as a full render of the same tile.
+        tkey = jax.random.fold_in(jax.random.fold_in(key, origin[0]), origin[1])
+
+        def chunk_fn(ci, acc):
+            ckey = jax.random.fold_in(tkey, ci)
+            return acc + _tile_chunk(
+                ckey, st, eye, view_to_world, origin[0], origin[1],
+                ci * spp,
+                cfg=cfg, background=background, tile_h=tile_h,
+                tile_w=tile_w, spp=spp, samples=samples, width=width,
+                height=height, aspect=aspect, fov_factor=fov_factor,
+            )
+
+        acc = jax.lax.fori_loop(0, n_chunks, chunk_fn, jnp.zeros((P, 3), dtype))
+        return (acc / samples).reshape(tile_h, tile_w, 3)
+
+    return jax.lax.map(tile_fn, jnp.arange(len(grid)))
 
 
 def render_linear(
@@ -111,9 +154,7 @@ def render_linear(
     tile_h = min(cfg.tile[0], height)
     tile_w = min(cfg.tile[1], width)
     spp_chunk = max(1, min(samples, cfg.max_rays_per_launch // (tile_h * tile_w)))
-    chunks = [spp_chunk] * (samples // spp_chunk)
-    if samples % spp_chunk:
-        chunks.append(samples % spp_chunk)
+    n_chunks = -(-samples // spp_chunk)
 
     if region is None:
         x_lo, y_lo, x_hi, y_hi = 0, 0, width - 1, height - 1
@@ -122,44 +163,36 @@ def render_linear(
 
     n_ty = -(-height // tile_h)
     n_tx = -(-width // tile_w)
-    reporter = reporter or NullProgress(0)
-    reporter.start(total=n_ty * n_tx)
 
-    base_key = jax.random.PRNGKey(cfg.seed)
-    zeros_tile = None
-
-    # Accumulate the whole image on device; transfer to host exactly once
-    # (device<->host roundtrips are the expensive resource).
-    rows = []
+    # Static tile grid: only tiles intersecting the slice region.
+    grid = []
     for ty in range(n_ty):
-        row_tiles = []
         for tx in range(n_tx):
             tx0, ty0 = tx * tile_w, ty * tile_h
-            # Skip tiles fully outside the slice region.
             if tx0 > x_hi or ty0 > y_hi or tx0 + tile_w - 1 < x_lo or ty0 + tile_h - 1 < y_lo:
-                if zeros_tile is None:
-                    zeros_tile = jnp.zeros((tile_h, tile_w, 3), cfg.dtype)
-                row_tiles.append(zeros_tile)
-                reporter.tick()
                 continue
-            tkey = jax.random.fold_in(base_key, ty * n_tx + tx)
-            acc = None
-            for ci, spp in enumerate(chunks):
-                ckey = jax.random.fold_in(tkey, ci)
-                part = _render_tile(
-                    ckey, st, cam.eye, cam.view_to_world,
-                    jnp.int32(tx0), jnp.int32(ty0),
-                    cfg=cfg, background=background,
-                    tile_h=tile_h, tile_w=tile_w, spp=spp,
-                    width=cam.width, height=cam.height,
-                    aspect=cam.aspect, fov_factor=cam.fov_factor,
-                )
-                acc = part if acc is None else acc + part
-            row_tiles.append((acc / samples).reshape(tile_h, tile_w, 3))
-            reporter.tick()
-        rows.append(jnp.concatenate(row_tiles, axis=1))
-    image_dev = jnp.concatenate(rows, axis=0)[:height, :width]
-    out = np.asarray(image_dev, dtype=np.float64)
+            grid.append((tx0, ty0))
+    grid = tuple(grid)
+
+    reporter = reporter or NullProgress(0)
+    reporter.start(total=1)
+
+    # One device dispatch for the whole image; one device->host transfer.
+    tiles = _render_image(
+        jax.random.PRNGKey(cfg.seed), st, cam.eye, cam.view_to_world,
+        cfg=cfg, background=background, tile_h=tile_h, tile_w=tile_w,
+        spp=spp_chunk, n_chunks=n_chunks, samples=samples,
+        width=cam.width, height=cam.height,
+        aspect=cam.aspect, fov_factor=cam.fov_factor, grid=grid,
+    )
+    tiles = np.asarray(tiles, dtype=np.float64)  # [T, th, tw, 3]
+
+    out = np.zeros((height, width, 3), dtype=np.float64)
+    for (tx0, ty0), tile in zip(grid, tiles):
+        ylim = min(ty0 + tile_h, height)
+        xlim = min(tx0 + tile_w, width)
+        out[ty0:ylim, tx0:xlim] = tile[: ylim - ty0, : xlim - tx0]
+    reporter.tick()
     reporter.finish()
     return out
 
