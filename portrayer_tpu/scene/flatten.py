@@ -311,7 +311,7 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
         t4 = f.trans
         trans[i] = m3.to_affine34(t4)
         inv[i] = m3.to_affine34(m3.invert(t4))
-        normal_mat[i] = m3.normal_matrix(m3.invert(t4))
+        normal_mat[i] = m3.normal_matrix(t4)
         material_id[i] = mat_index[id(f.material)]
         if f.kind == MESH:
             mesh_range[i] = f.tri_range

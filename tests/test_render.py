@@ -1,0 +1,83 @@
+"""Render-driver tests: pixel pipeline semantics, slice determinism,
+SAMPLES env knob, Image load/save round-trip."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+import scenes
+from portrayer_tpu import (
+    Image, render_linear, finalize, to_u8, RenderConfig, GAMMA,
+)
+
+
+def test_background_gradient_exact():
+    spec = scenes.load("simple")
+    cfg = RenderConfig(samples=2, tile=(32, 32))
+    img = render_linear(spec.scene, spec.camera, (32, 32), spec.background, cfg)
+    out = finalize(img)
+    # top-left corner: pure background, v = 0 -> (0.2,0.4,0.6)^(1/2.2)
+    expect = np.array([0.2, 0.4, 0.6]) ** (1.0 / GAMMA)
+    assert np.allclose(out[0, 0], expect, atol=2e-3)
+
+
+def test_u8_truncation():
+    # reference writes (c*255) as u8 — truncation, not rounding
+    img = np.array([[[0.9999, 0.5, 0.0039]]])
+    u8 = to_u8(img)
+    assert u8.tolist() == [[[254, 127, 0]]]
+
+
+def test_slice_render_deterministic(tmp_path):
+    spec = scenes.load("simple")
+    cfg = RenderConfig(samples=3, tile=(32, 32))
+    p = str(tmp_path / "img.png")
+    img = Image(p, 64, 48)
+    img.render(spec.scene, spec.camera, spec.background, cfg)
+    full = img.buffer.copy()
+    img.save()
+
+    img2 = Image(p, 64, 48)  # re-opens existing
+    assert np.array_equal(img2.buffer, full)
+    img2.buffer[:, 32:] = 0
+    img2.render(
+        spec.scene, spec.camera, spec.background, cfg,
+        region=((32, 0), (63, 47)),
+    )
+    assert np.array_equal(img2.buffer, full)
+
+
+def test_samples_env_var(monkeypatch):
+    monkeypatch.setenv("SAMPLES", "7")
+    assert RenderConfig().resolved_samples() == 7
+    monkeypatch.setenv("SAMPLES", "0")
+    assert RenderConfig().resolved_samples() == 100
+    monkeypatch.setenv("SAMPLES", "zebra")
+    assert RenderConfig().resolved_samples() == 100
+    monkeypatch.delenv("SAMPLES")
+    assert RenderConfig(samples=5).resolved_samples() == 5
+
+
+def test_instancing_duplicates_nodes_shares_triangles():
+    from portrayer_tpu import flatten_scene
+    spec = scenes.load("instance")
+    st = flatten_scene(spec.scene, dtype=jnp.float32)
+    # 6 arcs x 3 prims + floor mesh + center sphere = 20 nodes
+    assert st.n_nodes == 20
+    # floor plane.obj = 2 triangles, one instance
+    assert st.tri_a.shape[0] == 2
+
+
+def test_odd_sizes_and_spp_masking():
+    spec = scenes.load("simple")
+    # spp chunking with masking: samples=5 with forced chunk of 4
+    cfg = RenderConfig(samples=5, tile=(16, 16), max_rays_per_launch=1024)
+    img = render_linear(spec.scene, spec.camera, (24, 18), spec.background, cfg)
+    assert img.shape == (18, 24, 3)
+    assert np.isfinite(img).all()
+    # against unchunked reference (samples=5 fits in one chunk)
+    cfg2 = RenderConfig(samples=5, tile=(16, 16))
+    img2 = render_linear(spec.scene, spec.camera, (24, 18), spec.background, cfg2)
+    # different jitter draws -> sampling noise; images must agree on average
+    assert np.abs(img - img2).mean() < 0.02
