@@ -107,9 +107,18 @@ class RenderConfig:
     # (SURVEY §4 nondeterminism caveat).
     seed: int = 0
 
-    # Scene acceleration: "flat" (brute-force sweep) or "bvh" (two-level BVH
-    # culling).  Mirrors the reference's flat_scene/kdtree cargo features.
-    accel: str = "bvh"
+    # Scene acceleration: "flat" (brute-force sweep) or "beam" (segmented
+    # beam sweep — front-to-back warp culling with early termination, the
+    # TPU-native analogue of the reference's kdtree cargo feature).
+    accel: str = "beam"
+
+    # Beam-sweep parameters: rays per warp, number of front-to-back t
+    # segments, candidate chunk size, and the minimum primitive count below
+    # which the brute-force sweep is used instead.
+    warp_size: int = 256
+    n_segments: int = 16
+    beam_chunk: int = 64
+    beam_min_prims: int = 192
 
     def resolved_samples(self) -> int:
         return self.samples if self.samples is not None else _env_samples()

@@ -265,6 +265,20 @@ def intersect_scene(
     which suppresses float32 self-intersection acne on heavily scaled
     primitives without disturbing any other geometry.
     """
+    # Dispatch to the beam-sweep accelerator for large scenes (the analogue
+    # of the reference's kdtree feature flag).  NOTE: the beam path uses a
+    # dynamic-trip while_loop and is forward-only; use accel="flat" for
+    # reverse-mode differentiation.
+    if cfg.accel == "beam":
+        n_prims = st.n_nodes + st.n_pairs
+        if n_prims >= cfg.beam_min_prims:
+            from .beam import intersect_scene_beam
+
+            return intersect_scene_beam(
+                o, d, t_min, t_max, st, cfg,
+                active=active, src_node=src_node, src_tri=src_tri,
+            )
+
     R = o.shape[0]
     dtype = o.dtype
     t_min = jnp.broadcast_to(jnp.asarray(t_min, dtype), (R,))

@@ -89,6 +89,12 @@ def train_step(
     grads covers DIFF_FIELDS.  Gradients flow through the full wavefront
     bounce loop; the psum in trace_sharded transposes into the gradient
     all-reduce."""
+    import dataclasses
+
+    # The beam accelerator uses a dynamic-trip while_loop (forward-only);
+    # reverse-mode differentiation needs the flat sweep.
+    if cfg.accel == "beam":
+        cfg = dataclasses.replace(cfg, accel="flat")
     params, _ = split_params(st)
 
     def loss_fn(params):

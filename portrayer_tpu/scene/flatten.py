@@ -56,6 +56,8 @@ class SceneTables:
     # instance-triangle pair lists for the brute-force sweep
     pair_node: jnp.ndarray    # [P] int32 node id
     pair_tri: jnp.ndarray     # [P] int32 tri id
+    pair_aabb_min: jnp.ndarray  # [P,3] world AABB of the transformed triangle
+    pair_aabb_max: jnp.ndarray  # [P,3]
     # --- materials ---
     mat_diffuse: jnp.ndarray       # [M,3]
     mat_specular: jnp.ndarray      # [M,3]
@@ -307,6 +309,8 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
     aabb_max = np.zeros((N, 3))
     pair_node: List[int] = []
     pair_tri: List[int] = []
+    pair_amin: List[np.ndarray] = []
+    pair_amax: List[np.ndarray] = []
     for i, f in enumerate(flat):
         t4 = f.trans
         trans[i] = m3.to_affine34(t4)
@@ -316,9 +320,16 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
         if f.kind == MESH:
             mesh_range[i] = f.tri_range
             lmin, lmax = f.local_min, f.local_max
+            rot = t4[:3, :3]
+            off = t4[:3, 3]
             for tj in range(f.tri_range[0], f.tri_range[0] + f.tri_range[1]):
                 pair_node.append(i)
                 pair_tri.append(tj)
+                verts = np.stack(
+                    [tri_rows[tj][0], tri_rows[tj][1], tri_rows[tj][2]]
+                ) @ rot.T + off
+                pair_amin.append(verts.min(axis=0))
+                pair_amax.append(verts.max(axis=0))
         else:
             lmin, lmax = _LOCAL_BOUNDS[f.kind]
         aabb_min[i], aabb_max[i] = _world_aabb(t4, lmin, lmax)
@@ -386,7 +397,9 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
         tri_uva=f(tri["tri_uva"]), tri_uvb=f(tri["tri_uvb"]), tri_uvc=f(tri["tri_uvc"]),
         tri_has_uv=b8(tri["tri_has_uv"]),
         pair_node=i32(pair_node if pair_node else [0]),
-        pair_tri=i32(pair_tri if pair_tri else [0]) if pair_tri else i32([0]),
+        pair_tri=i32(pair_tri if pair_tri else [0]),
+        pair_aabb_min=f(np.stack(pair_amin) if pair_amin else np.zeros((1, 3))),
+        pair_aabb_max=f(np.stack(pair_amax) if pair_amax else np.zeros((1, 3))),
         mat_diffuse=f(mat_diffuse), mat_specular=f(mat_specular),
         mat_shininess=f(mat_shininess), mat_reflectivity=f(mat_reflectivity),
         mat_glossy=f(mat_glossy), mat_refraction=f(mat_refraction),
