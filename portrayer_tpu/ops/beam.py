@@ -1,21 +1,22 @@
-"""Segmented beam-sweep acceleration — the TPU-native replacement for the
+"""Ordered beam-sweep acceleration — the TPU-native replacement for the
 reference's kd-tree (src/kdtree/*, SURVEY §7 step 9).
 
 Why not a kd-tree walk: per-ray stack traversal is divergent scalar control
 flow and random gathers — the worst case for a vector machine.  Instead:
 
-  * Rays are grouped into *warps* (contiguous batches, coherent for primary
-    and shadow rays).  Each warp carries interval bounds on its origins and
-    directions.
-  * The ray parameter range [0, t_far] is split into S geometric *segments*
-    processed front-to-back (lax.scan).  For segment s the warp's reachable
-    region is a compact "beam box"; node/triangle world AABBs are culled
-    against it, compacted into per-warp candidate lists, and swept in
-    chunks (a dynamic-trip while_loop sized by the *largest* list).
-  * Early termination: once every ray in a warp has a hit closer than the
-    segment start, the warp stops contributing candidates — the analogue of
-    ordered kd descent (kdtree/node.rs:132-199), captured at warp
-    granularity with fully static shapes.
+  * Rays are grouped into *warps* (contiguous batches — coherent for
+    primary and shadow rays).  Each warp carries interval bounds on its
+    origins and directions.
+  * For every (warp, primitive) pair, ONE conservative interval slab test
+    computes the t-range in which the warp could possibly enter the
+    primitive's world AABB.  Impossible pairs are culled (typically >98%
+    on big scenes).
+  * Each warp's surviving candidates are sorted by their conservative
+    entry-t (one argsort per group), then swept front-to-back in fixed
+    chunks by a dynamic-trip while_loop.  The loop stops as soon as every
+    remaining candidate's entry-t exceeds the warp's current best hit —
+    the early termination of ordered kd descent (kdtree/node.rs:132-199),
+    captured at warp granularity with fully static shapes.
 
 Equivalence with the brute-force sweep is the correctness oracle (the
 reference's mesh_equivalence pattern, kdmesh.rs:99-166) — see
@@ -23,8 +24,6 @@ tests/test_beam.py.
 """
 
 from __future__ import annotations
-
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +34,8 @@ from .intersect import (
     Hit, _ANALYTIC_CANDIDATES, triangle_candidate, INF,
 )
 
+BIGT = 3e38
+
 
 def _pad_to(x, n, fill):
     pad = n - x.shape[0]
@@ -44,18 +45,41 @@ def _pad_to(x, n, fill):
     return jnp.pad(x, pad_width, constant_values=fill)
 
 
-def _compact_rows(mask):
-    """Row-wise stream compaction: mask [W, N] -> (ids [W, N] with -1 pad,
-    counts [W]).  ids[w, :counts[w]] are the column indices where mask."""
-    W, N = mask.shape
-    pos = jnp.cumsum(mask, axis=1) - 1                      # [W, N]
-    counts = pos[:, -1] + 1
-    cols = jax.lax.broadcasted_iota(jnp.int32, (W, N), 1)
-    target = jnp.where(mask, pos, N)                        # dump to col N
-    buf = jnp.full((W, N + 1), -1, jnp.int32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (W, N), 0)
-    buf = buf.at[rows, target].set(cols, mode="drop")
-    return buf[:, :N], counts
+def _warp_entry_t(omin, omax, dmin, dmax, amin, amax):
+    """Conservative entry-t of warp reach into AABBs.
+
+    omin/omax/dmin/dmax: [W,3] warp origin/direction interval bounds.
+    amin/amax: [N,3] target AABBs.  Returns t_enter [W,N] — a valid lower
+    bound on the t at which ANY warp ray can be inside the AABB — with
+    +inf where overlap is impossible for t >= 0.
+
+    Per axis, the warp's reachable interval at parameter t is
+    [omin + t*dmin, omax + t*dmax] (t >= 0).  Overlap with [nmin, nmax]
+    requires  dmin*t <= nmax - omin  and  dmax*t >= nmin - omax; each is a
+    one-sided bound on t depending on the direction-bound's sign.
+    """
+    t_lo = jnp.zeros((omin.shape[0], amin.shape[0]), omin.dtype)
+    t_hi = jnp.full((omin.shape[0], amin.shape[0]), BIGT, omin.dtype)
+    for a in range(3):
+        A = amax[None, :, a] - omin[:, None, a]       # [W,N]
+        B = amin[None, :, a] - omax[:, None, a]
+        dn = dmin[:, None, a]
+        dx = dmax[:, None, a]
+        # cond1: dn * t <= A
+        hi1 = jnp.where(dn > 0, A / jnp.where(dn > 0, dn, 1.0), BIGT)
+        lo1 = jnp.where(dn < 0, A / jnp.where(dn < 0, dn, 1.0), 0.0)
+        empty1 = (dn == 0) & (A < 0)
+        # cond2: dx * t >= B
+        lo2 = jnp.where(dx > 0, B / jnp.where(dx > 0, dx, 1.0), 0.0)
+        hi2 = jnp.where(dx < 0, B / jnp.where(dx < 0, dx, 1.0), BIGT)
+        empty2 = (dx == 0) & (B > 0)
+        t_lo = jnp.maximum(t_lo, jnp.maximum(lo1, lo2))
+        t_hi = jnp.minimum(t_hi, jnp.minimum(hi1, hi2))
+        t_hi = jnp.where(empty1 | empty2, -1.0, t_hi)
+    possible = t_lo <= t_hi
+    # Small conservative slack for f32 rounding.
+    t_enter = jnp.maximum(t_lo - 1e-3 * (jnp.abs(t_lo) + 1.0), 0.0)
+    return jnp.where(possible, t_enter, INF)
 
 
 def intersect_scene_beam(
@@ -90,22 +114,18 @@ def intersect_scene_beam(
     src_w = _pad_to(src_node, R, -1).reshape(W, w)
     srct_w = _pad_to(src_tri, R, -1).reshape(W, w)
 
-    BIG = jnp.asarray(3e38, dtype)
+    BIG = jnp.asarray(BIGT, dtype)
     omin = jnp.where(act_w[..., None], o_w, BIG).min(axis=1)     # [W,3]
     omax = jnp.where(act_w[..., None], o_w, -BIG).max(axis=1)
     dmin = jnp.where(act_w[..., None], d_w, BIG).min(axis=1)
     dmax = jnp.where(act_w[..., None], d_w, -BIG).max(axis=1)
+    # Empty warps (no active lane): force impossible bounds.
+    any_active = act_w.any(axis=1)
+    omin = jnp.where(any_active[:, None], omin, BIG)
+    omax = jnp.where(any_active[:, None], omax, -BIG)
+    dmin = jnp.where(any_active[:, None], dmin, 0.0)
+    dmax = jnp.where(any_active[:, None], dmax, 0.0)
 
-    # Scene bounds / per-warp far distance.
-    scene_min = jnp.minimum(st.aabb_min.min(axis=0), st.pair_aabb_min.min(axis=0))
-    scene_max = jnp.maximum(st.aabb_max.max(axis=0), st.pair_aabb_max.max(axis=0))
-    scene_center = 0.5 * (scene_min + scene_max)
-    half_diag = 0.5 * jnp.linalg.norm(scene_max - scene_min)
-    ocenter = 0.5 * (jnp.clip(omin, -BIG, BIG) + jnp.clip(omax, -BIG, BIG))
-    t_far = jnp.linalg.norm(ocenter - scene_center, axis=-1) + half_diag  # [W]
-    t_far = t_far * 1.01 + 1e-3
-
-    S = cfg.n_segments
     C = cfg.beam_chunk
     eps = cfg.epsilon
     use_src = cfg.self_eps_local > 0.0
@@ -114,13 +134,7 @@ def intersect_scene_beam(
     best_node = jnp.full((W, w), -1, jnp.int32)
     best_tri = jnp.full((W, w), -1, jnp.int32)
 
-    # Static group info.
-    groups = [(k, s, c) for (k, s, c) in st.groups if k != MESH and c > 0]
-    mesh_present = st.group(MESH)[1] > 0 and st.n_pairs > 0
-
-    def eff_t_min(global_ids, ld, is_src):
-        """[W,w,C] t-range start with self-surface exclusion (see
-        intersect_scene)."""
+    def eff_t_min(ld, is_src):
         base = tmin_w[:, :, None]
         if not use_src:
             return base
@@ -128,69 +142,98 @@ def intersect_scene_beam(
         t_self = cfg.self_eps_local / jnp.maximum(d_norm, 1e-30)
         return jnp.where(is_src, jnp.maximum(base, t_self), base)
 
-    def _pad_cols(ids_buf):
-        n = ids_buf.shape[1]
-        target = max(C, -(-n // C) * C)
-        if target > n:
-            ids_buf = jnp.pad(ids_buf, ((0, 0), (0, target - n)), constant_values=-1)
-        return ids_buf
+    def warp_ub(bt):
+        lane_ub = jnp.minimum(bt, tmax_w)
+        lane_ub = jnp.where(act_w, lane_ub, 0.0)
+        return lane_ub.max(axis=1)                               # [W]
 
-    def sweep_group(carry, ids_buf, counts, start, cand_fn):
-        """Chunked sweep of per-warp candidate lists (analytic group)."""
+    def ordered_sweep(carry, t_enter, pick_tables, is_pairs):
+        """Sweep candidates sorted by entry-t, chunked, with early exit.
+
+        t_enter: [W, N] conservative entry-t (inf = culled).
+        pick_tables(sorted_ids_chunk) -> candidate tensors for the chunk.
+        """
         bt, bn, btr = carry
-        ids_buf = _pad_cols(ids_buf)
-        max_count = counts.max()
+        Wn = t_enter.shape[1]
+        n_pad = max(C, -(-Wn // C) * C)
+        order = jnp.argsort(t_enter, axis=1)                     # [W,N]
+        te_sorted = jnp.take_along_axis(t_enter, order, axis=1)
+        order = jnp.pad(order, ((0, 0), (0, n_pad - Wn)))
+        te_sorted = jnp.pad(
+            te_sorted, ((0, 0), (0, n_pad - Wn)), constant_values=INF
+        )
+
+        n_chunks = n_pad // C
 
         def cond(state):
-            ci, *_ = state
-            return ci * C < max_count
+            ci, bt, bn, btr = state
+            start_t = jax.lax.dynamic_slice(te_sorted, (0, ci * C), (W, 1))[:, 0]
+            # isfinite: exhausted warps (start_t = inf) must stop even when
+            # warp_ub is inf (all-miss warps) — inf <= inf is True.
+            live = jnp.isfinite(start_t) & (start_t <= warp_ub(bt))
+            return (ci < n_chunks) & jnp.any(live)
 
         def body(state):
             ci, bt, bn, btr = state
-            ids = jax.lax.dynamic_slice(ids_buf, (0, ci * C), (W, C))  # [W,C]
-            valid = ids >= 0
-            gids = jnp.maximum(ids, 0) + start                         # [W,C]
-            inv = st.inv[gids]                                         # [W,C,3,4]
-            rot = inv[:, None, :, :, :3]                               # [W,1,C,3,3]
-            lo = jnp.sum(rot * o_w[:, :, None, None, :], -1) + inv[:, None, :, :, 3]
-            ld = jnp.sum(rot * d_w[:, :, None, None, :], -1)           # [W,w,C,3]
-            is_src = gids[:, None, :] == src_w[:, :, None]
-            t = cand_fn(lo, ld, eff_t_min(gids, ld, is_src),
-                        tmax_w[:, :, None], eps)
-            t = jnp.where(valid[:, None, :] & act_w[:, :, None], t, INF)
-            j = jnp.argmin(t, axis=2)                                  # [W,w]
+            ids = jax.lax.dynamic_slice(order, (0, ci * C), (W, C))   # [W,C]
+            te = jax.lax.dynamic_slice(te_sorted, (0, ci * C), (W, C))
+            valid = jnp.isfinite(te)
+            t, node_ids, tri_ids = pick_tables(ids, valid)
+            j = jnp.argmin(t, axis=2)                                 # [W,w]
             tj = jnp.take_along_axis(t, j[..., None], axis=2)[..., 0]
             better = tj < bt
-            picked = jnp.take_along_axis(gids[:, None, :].repeat(w, 1), j[..., None], 2)[..., 0]
-            bn = jnp.where(better, picked, bn)
+            pick = lambda arr: jnp.take_along_axis(
+                jnp.broadcast_to(arr[:, None, :], (W, w, C)), j[..., None], 2
+            )[..., 0]
+            bn = jnp.where(better, pick(node_ids), bn)
+            if is_pairs:
+                btr = jnp.where(better, pick(tri_ids), btr)
             bt = jnp.where(better, tj, bt)
             return ci + 1, bt, bn, btr
 
-        _, bt, bn, btr = jax.lax.while_loop(cond, body, (jnp.int32(0), bt, bn, btr))
+        _, bt, bn, btr = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), bt, bn, btr)
+        )
         return bt, bn, btr
 
-    def sweep_pairs(carry, ids_buf, counts):
-        """Chunked sweep of per-warp mesh-pair candidate lists."""
-        bt, bn, btr = carry
-        ids_buf = _pad_cols(ids_buf)
-        max_count = counts.max()
+    carry = (best_t, best_node, best_tri)
 
-        def cond(state):
-            ci, *_ = state
-            return ci * C < max_count
+    # --- analytic groups ---
+    for kind, start, count in st.groups:
+        if kind == MESH or count == 0:
+            continue
+        amin = st.aabb_min[start:start + count]
+        amax = st.aabb_max[start:start + count]
+        t_enter = _warp_entry_t(omin, omax, dmin, dmax, amin, amax)
+        cand_fn = _ANALYTIC_CANDIDATES[kind]
 
-        def body(state):
-            ci, bt, bn, btr = state
-            ids = jax.lax.dynamic_slice(ids_buf, (0, ci * C), (W, C))
-            valid = ids >= 0
-            pid = jnp.maximum(ids, 0)
-            node_ix = st.pair_node[pid]                                # [W,C]
-            tri_ix = st.pair_tri[pid]
+        def pick_tables(ids, valid, start=start, cand_fn=cand_fn):
+            gids = ids + start                                       # [W,C]
+            inv = st.inv[gids]
+            rot = inv[:, None, :, :, :3]
+            lo = jnp.sum(rot * o_w[:, :, None, None, :], -1) + inv[:, None, :, :, 3]
+            ld = jnp.sum(rot * d_w[:, :, None, None, :], -1)
+            is_src = gids[:, None, :] == src_w[:, :, None]
+            t = cand_fn(lo, ld, eff_t_min(ld, is_src), tmax_w[:, :, None], eps)
+            t = jnp.where(valid[:, None, :] & act_w[:, :, None], t, INF)
+            return t, gids, None
+
+        carry = ordered_sweep(carry, t_enter, pick_tables, is_pairs=False)
+
+    # --- mesh triangle pairs ---
+    if st.group(MESH)[1] > 0 and st.n_pairs > 0:
+        t_enter = _warp_entry_t(
+            omin, omax, dmin, dmax, st.pair_aabb_min, st.pair_aabb_max
+        )
+
+        def pick_pairs(ids, valid):
+            node_ix = st.pair_node[ids]                              # [W,C]
+            tri_ix = st.pair_tri[ids]
             inv = st.inv[node_ix]
             rot = inv[:, None, :, :, :3]
             lo = jnp.sum(rot * o_w[:, :, None, None, :], -1) + inv[:, None, :, :, 3]
             ld = jnp.sum(rot * d_w[:, :, None, None, :], -1)
-            a = st.tri_a[tri_ix][:, None]                              # [W,1,C,3]
+            a = st.tri_a[tri_ix][:, None]
             b = st.tri_b[tri_ix][:, None]
             c = st.tri_c[tri_ix][:, None]
             is_src = (
@@ -198,77 +241,14 @@ def intersect_scene_beam(
                 & (tri_ix[:, None, :] == srct_w[:, :, None])
             )
             t, _, _ = triangle_candidate(
-                lo, ld, a, b, c, eff_t_min(node_ix, ld, is_src), tmax_w[:, :, None]
+                lo, ld, a, b, c, eff_t_min(ld, is_src), tmax_w[:, :, None]
             )
             t = jnp.where(valid[:, None, :] & act_w[:, :, None], t, INF)
-            j = jnp.argmin(t, axis=2)
-            tj = jnp.take_along_axis(t, j[..., None], axis=2)[..., 0]
-            better = tj < bt
-            pick = lambda arr: jnp.take_along_axis(
-                arr[:, None, :].repeat(w, 1), j[..., None], 2
-            )[..., 0]
-            bn = jnp.where(better, pick(node_ix), bn)
-            btr = jnp.where(better, pick(tri_ix), btr)
-            bt = jnp.where(better, tj, bt)
-            return ci + 1, bt, bn, btr
+            return t, node_ix, tri_ix
 
-        _, bt, bn, btr = jax.lax.while_loop(cond, body, (jnp.int32(0), bt, bn, btr))
-        return bt, bn, btr
+        carry = ordered_sweep(carry, t_enter, pick_pairs, is_pairs=True)
 
-    def segment_body(carry, k):
-        bt, bn, btr = carry
-        frac_lo = (k.astype(dtype) / S) ** 2
-        frac_hi = ((k.astype(dtype) + 1.0) / S) ** 2
-        seg_lo = t_far * frac_lo                                       # [W]
-        seg_hi = t_far * frac_hi
-
-        # Warp upper bound: beyond max(min(best_t, t_max)) nothing improves.
-        lane_ub = jnp.minimum(bt, tmax_w)
-        lane_ub = jnp.where(act_w, lane_ub, 0.0)
-        warp_ub = lane_ub.max(axis=1)                                  # [W]
-        needed = (seg_lo < warp_ub) & (seg_lo < t_far)
-
-        hi = jnp.minimum(seg_hi, warp_ub)
-        # Reach box: origins + [seg_lo, hi] * directions (interval product).
-        cands = jnp.stack([
-            seg_lo[:, None] * dmin, seg_lo[:, None] * dmax,
-            hi[:, None] * dmin, hi[:, None] * dmax,
-        ])
-        reach_min = omin + cands.min(axis=0)
-        reach_max = omax + cands.max(axis=0)
-        margin = 1e-3 * (jnp.abs(reach_max - reach_min) + 1.0)
-        reach_min = reach_min - margin
-        reach_max = reach_max + margin
-
-        carry2 = (bt, bn, btr)
-        for kind, start, count in groups:
-            amin = st.aabb_min[start:start + count]
-            amax = st.aabb_max[start:start + count]
-            overlap = jnp.all(
-                (amin[None] <= reach_max[:, None]) & (amax[None] >= reach_min[:, None]),
-                axis=-1,
-            )                                                           # [W,count]
-            overlap = overlap & needed[:, None]
-            ids_buf, counts = _compact_rows(overlap)
-            carry2 = sweep_group(
-                carry2, ids_buf, counts, start, _ANALYTIC_CANDIDATES[kind]
-            )
-        if mesh_present:
-            overlap = jnp.all(
-                (st.pair_aabb_min[None] <= reach_max[:, None])
-                & (st.pair_aabb_max[None] >= reach_min[:, None]),
-                axis=-1,
-            )
-            overlap = overlap & needed[:, None]
-            ids_buf, counts = _compact_rows(overlap)
-            carry2 = sweep_pairs(carry2, ids_buf, counts)
-        return carry2, None
-
-    (best_t, best_node, best_tri), _ = jax.lax.scan(
-        segment_body, (best_t, best_node, best_tri),
-        jnp.arange(S, dtype=jnp.int32),
-    )
-
+    best_t, best_node, best_tri = carry
     bt = best_t.reshape(R)[:R0]
     bn = best_node.reshape(R)[:R0]
     btr = best_tri.reshape(R)[:R0]
