@@ -107,10 +107,18 @@ class RenderConfig:
     # (SURVEY §4 nondeterminism caveat).
     seed: int = 0
 
-    # Scene acceleration: "flat" (brute-force sweep) or "beam" (segmented
-    # beam sweep — front-to-back warp culling with early termination, the
-    # TPU-native analogue of the reference's kdtree cargo feature).
-    accel: str = "beam"
+    # Scene acceleration: "flat" (brute-force XLA sweep — the only
+    # differentiable path), "beam" (segmented XLA beam sweep), or "pallas"
+    # (the production Pallas VMEM sweep kernel with Morton-chunk culling —
+    # the TPU-native analogue of the reference's kdtree cargo feature).
+    accel: str = "pallas"
+
+    # Pallas sweep parameters: rays per kernel block, chunks (x128 prims)
+    # per VMEM slab, and interpreter-mode override (None = auto: interpret
+    # everywhere except real TPU backends).
+    pallas_block: int = 256
+    pallas_slab_chunks: int = 128
+    pallas_interpret: Optional[bool] = None
 
     # Beam-sweep parameters: rays per warp, number of front-to-back t
     # segments, candidate chunk size, and the minimum primitive count below

@@ -265,11 +265,23 @@ def intersect_scene(
     which suppresses float32 self-intersection acne on heavily scaled
     primitives without disturbing any other geometry.
     """
-    # Dispatch to the beam-sweep accelerator for large scenes (the analogue
-    # of the reference's kdtree feature flag).  NOTE: the beam path uses a
-    # dynamic-trip while_loop and is forward-only; use accel="flat" for
-    # reverse-mode differentiation.
-    if cfg.accel == "beam":
+    # Dispatch to an accelerated sweep (the analogue of the reference's
+    # kdtree feature flag).  NOTE: both accelerated paths use dynamic-trip
+    # while_loops and are forward-only; use accel="flat" for reverse-mode
+    # differentiation.
+    if cfg.accel == "pallas" and o.dtype == jnp.float32:
+        # Only take the Mosaic kernel on real TPU backends (or when
+        # interpret mode is explicitly requested, e.g. by CPU equivalence
+        # tests); elsewhere fall through to the XLA beam sweep, which has
+        # identical semantics.
+        if jax.default_backend() == "tpu" or cfg.pallas_interpret:
+            from .pallas_intersect import intersect_scene_pallas
+
+            return intersect_scene_pallas(
+                o, d, t_min, t_max, st, cfg,
+                active=active, src_node=src_node, src_tri=src_tri,
+            )
+    if cfg.accel in ("beam", "pallas"):
         n_prims = st.n_nodes + st.n_pairs
         if n_prims >= cfg.beam_min_prims:
             from .beam import intersect_scene_beam
@@ -379,7 +391,16 @@ def occluded(
 ):
     """Any-hit query for shadow rays.  The reference casts the full nearest-hit
     query with an unbounded range (material.rs:174-179) — occlusion therefore
-    counts objects even *beyond* the light, which we preserve."""
+    counts objects even *beyond* the light, which we preserve.  The Pallas
+    path answers this with a cheaper first-hit sweep."""
+    if cfg.accel == "pallas" and o.dtype == jnp.float32:
+        if jax.default_backend() == "tpu" or cfg.pallas_interpret:
+            from .pallas_intersect import intersect_scene_pallas
+
+            return intersect_scene_pallas(
+                o, d, t_min, t_max, st, cfg, active=active,
+                src_node=src_node, src_tri=src_tri, any_hit=True,
+            ).hit
     return intersect_scene(
         o, d, t_min, t_max, st, cfg,
         active=active, src_node=src_node, src_tri=src_tri,

@@ -93,7 +93,7 @@ def train_step(
 
     # The beam accelerator uses a dynamic-trip while_loop (forward-only);
     # reverse-mode differentiation needs the flat sweep.
-    if cfg.accel == "beam":
+    if cfg.accel in ("beam", "pallas"):
         cfg = dataclasses.replace(cfg, accel="flat")
     params, _ = split_params(st)
 

@@ -30,6 +30,134 @@ from .texture import Texture, ImageTexture, NormalMap
 SPHERE, PLANE, CUBE, CYLINDER, CONE, MESH = range(6)
 KIND_NAMES = ("sphere", "plane", "cube", "cylinder", "cone", "mesh")
 
+# Packed-table chunk width: primitives are laid out in lanes of the VPU
+# (8x128); one chunk = one 128-lane sweep step in the Pallas kernel.
+PACK_CHUNK = 128
+
+
+@struct.dataclass
+class PackedPrims:
+    """Unified prim table for the Pallas sweep kernel (ops/pallas_intersect).
+
+    Every *instance* — analytic node or (mesh-instance, triangle) pair — is
+    one column.  Columns are grouped into 128-wide chunks; each chunk holds
+    a single primitive kind and is Morton-ordered (world AABB centers) so
+    chunk AABBs stay tight and block-level culling is effective.  This is
+    the TPU-native analogue of the reference's kd-tree leaves
+    (src/kdtree/leaf.rs:89-231): spatial clustering into fixed-width SIMD
+    leaves instead of a divergent tree descent.
+
+    Rows of `f32` (21 x NCOL):
+      0..11   world->local affine (3x4, row-major)
+      12..20  triangle local-space vertices a, b, c (zeros for analytic)
+    Rows of `ids` (2 x NCOL): node id, triangle id (-1 = padding/analytic).
+    """
+
+    f32: jnp.ndarray        # [21, NCOL] float
+    ids: jnp.ndarray        # [2, NCOL] int32
+    chunk_kind: jnp.ndarray  # [Nc] int32 primitive kind of each chunk
+    chunk_min: jnp.ndarray   # [Nc,3] world AABB over chunk members
+    chunk_max: jnp.ndarray   # [Nc,3]
+    n_chunks: int = struct.field(pytree_node=False)
+
+
+def _part1by2(x: np.ndarray) -> np.ndarray:
+    """Spread 10 bits to every 3rd bit (Morton interleave helper)."""
+    x = x.astype(np.uint32) & np.uint32(0x3FF)
+    x = (x | (x << 16)) & np.uint32(0x30000FF)
+    x = (x | (x << 8)) & np.uint32(0x300F00F)
+    x = (x | (x << 4)) & np.uint32(0x30C30C3)
+    x = (x | (x << 2)) & np.uint32(0x9249249)
+    return x
+
+
+def _morton_order(amin: np.ndarray, amax: np.ndarray) -> np.ndarray:
+    """Stable spatial sort of AABBs by 30-bit Morton code of their centers."""
+    if amin.shape[0] <= 1:
+        return np.arange(amin.shape[0])
+    c = 0.5 * (amin + amax)
+    lo = c.min(axis=0)
+    span = np.maximum(c.max(axis=0) - lo, 1e-30)
+    q = np.clip((c - lo) / span * 1023.0, 0.0, 1023.0).astype(np.uint32)
+    key = (
+        _part1by2(q[:, 0])
+        | (_part1by2(q[:, 1]) << np.uint32(1))
+        | (_part1by2(q[:, 2]) << np.uint32(2))
+    )
+    return np.argsort(key, kind="stable")
+
+
+def _build_packed(
+    groups, inv, aabb_min, aabb_max,
+    pair_node, pair_tri, pair_amin, pair_amax, tri_abc,
+):
+    """Assemble PackedPrims (numpy) from the flat node/pair tables."""
+    f_cols: List[np.ndarray] = []   # per-kind [k,21]
+    id_cols: List[np.ndarray] = []  # per-kind [k,2]
+    a_cols_min: List[np.ndarray] = []
+    a_cols_max: List[np.ndarray] = []
+    kinds: List[int] = []
+
+    def add_group(kind, f, ids, amin, amax):
+        k = f.shape[0]
+        pad = -(-k // PACK_CHUNK) * PACK_CHUNK - k
+        if pad:
+            f = np.concatenate([f, np.zeros((pad, f.shape[1]))], axis=0)
+            ids = np.concatenate([ids, np.full((pad, 2), -1, np.int64)], axis=0)
+            amin = np.concatenate([amin, np.full((pad, 3), 1e30)], axis=0)
+            amax = np.concatenate([amax, np.full((pad, 3), -1e30)], axis=0)
+        f_cols.append(f)
+        id_cols.append(ids)
+        a_cols_min.append(amin)
+        a_cols_max.append(amax)
+        kinds.extend([kind] * ((k + pad) // PACK_CHUNK))
+
+    for kind, start, count in groups:
+        if count == 0:
+            continue
+        if kind == MESH:
+            n_pairs = len(pair_node)
+            if n_pairs == 0:
+                continue
+            pn = np.asarray(pair_node)
+            pt = np.asarray(pair_tri)
+            amin = np.stack(pair_amin)
+            amax = np.stack(pair_amax)
+            order = _morton_order(amin, amax)
+            pn, pt = pn[order], pt[order]
+            f = np.concatenate(
+                [inv[pn].reshape(-1, 12), tri_abc[pt].reshape(-1, 9)], axis=1
+            )
+            ids = np.stack([pn, pt], axis=1)
+            add_group(MESH, f, ids, amin[order], amax[order])
+        else:
+            idx = np.arange(start, start + count)
+            order = idx[_morton_order(aabb_min[idx], aabb_max[idx])]
+            f = np.concatenate(
+                [inv[order].reshape(-1, 12), np.zeros((count, 9))], axis=1
+            )
+            ids = np.stack([order, np.full(count, -1)], axis=1)
+            add_group(kind, f, ids, aabb_min[order], aabb_max[order])
+
+    if not kinds:  # empty scene: one all-padding chunk
+        kinds = [SPHERE]
+        f_cols = [np.zeros((PACK_CHUNK, 21))]
+        id_cols = [np.full((PACK_CHUNK, 2), -1, np.int64)]
+        a_cols_min = [np.full((PACK_CHUNK, 3), 1e30)]
+        a_cols_max = [np.full((PACK_CHUNK, 3), -1e30)]
+
+    f_all = np.concatenate(f_cols, axis=0)        # [NCOL,21]
+    id_all = np.concatenate(id_cols, axis=0)      # [NCOL,2]
+    amin_all = np.concatenate(a_cols_min, axis=0)
+    amax_all = np.concatenate(a_cols_max, axis=0)
+    n_chunks = f_all.shape[0] // PACK_CHUNK
+    chunk_min = amin_all.reshape(n_chunks, PACK_CHUNK, 3).min(axis=1)
+    chunk_max = amax_all.reshape(n_chunks, PACK_CHUNK, 3).max(axis=1)
+    return (
+        f_all.T, id_all.T.astype(np.int32),
+        np.asarray(kinds, np.int32), chunk_min, chunk_max, n_chunks,
+    )
+
 
 @struct.dataclass
 class SceneTables:
@@ -81,6 +209,8 @@ class SceneTables:
     tex_meta: jnp.ndarray      # [K,3] int32 (offset, width, height)
     nm_data: jnp.ndarray       # [Pnm,3] raw normal-map texels
     nm_meta: jnp.ndarray       # [Knm,3] int32
+    # --- packed prim table for the Pallas sweep kernel ---
+    packed: "PackedPrims"
     # --- static metadata (not traced) ---
     groups: Tuple[Tuple[int, int, int], ...] = struct.field(pytree_node=False)
     fn_textures: Tuple[Callable, ...] = struct.field(pytree_node=False)
@@ -383,9 +513,23 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
     tex_data, tex_meta = build_atlas(image_textures, "linear")
     nm_data, nm_meta = build_atlas(normal_maps, "raw")
 
+    # Packed Morton-chunked prim table for the Pallas sweep.
+    tri_abc = np.concatenate(
+        [tri["tri_a"], tri["tri_b"], tri["tri_c"]], axis=1
+    )
+    pk_f32, pk_ids, pk_kind, pk_cmin, pk_cmax, pk_nc = _build_packed(
+        groups, inv, aabb_min, aabb_max,
+        pair_node, pair_tri, pair_amin, pair_amax, tri_abc,
+    )
+
     f = lambda x: jnp.asarray(x, dtype=dtype)
     i32 = lambda x: jnp.asarray(x, dtype=jnp.int32)
     b8 = lambda x: jnp.asarray(x, dtype=jnp.bool_)
+
+    packed = PackedPrims(
+        f32=f(pk_f32), ids=i32(pk_ids), chunk_kind=i32(pk_kind),
+        chunk_min=f(pk_cmin), chunk_max=f(pk_cmax), n_chunks=pk_nc,
+    )
 
     return SceneTables(
         trans=f(trans), inv=f(inv), normal_mat=f(normal_mat),
@@ -412,6 +556,7 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
         ambient=f(scene.ambient),
         tex_data=f(tex_data), tex_meta=i32(tex_meta),
         nm_data=f(nm_data), nm_meta=i32(nm_meta),
+        packed=packed,
         groups=tuple(groups),
         fn_textures=tuple(fn_textures),
         n_lights=len(scene.lights),

@@ -1,0 +1,117 @@
+"""Pallas sweep kernel tests — the reference's mesh_equivalence oracle
+pattern (src/kdtree/kdmesh.rs:99-166): the accelerated path must agree with
+the brute-force sweep.  Runs the kernel in interpreter mode on CPU; the
+same kernel compiles through Mosaic on TPU (exercised by bench/driver)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import scenes
+from portrayer_tpu import flatten_scene, RenderConfig
+from portrayer_tpu.camera import Camera
+from portrayer_tpu.ops.intersect import intersect_scene
+from portrayer_tpu.ops.pallas_intersect import intersect_scene_pallas
+from portrayer_tpu.scene.flatten import PACK_CHUNK, MESH
+
+FLAT = RenderConfig(accel="flat", node_chunk=256)
+PAL = RenderConfig(accel="pallas", pallas_interpret=True)
+
+
+def _rays(name, n=512, seed=0):
+    spec = scenes.load(name)
+    w, h = spec.size
+    st = flatten_scene(spec.scene, dtype=jnp.float32)
+    cam = Camera(spec.camera, (w, h), dtype=jnp.float32)
+    rng = np.random.default_rng(seed)
+    px = jnp.asarray(rng.uniform(0, w, n), jnp.float32)
+    py = jnp.asarray(rng.uniform(0, h, n), jnp.float32)
+    o, d = cam.rays_at(px, py)
+    return st, o, d
+
+
+def test_packed_tables_structure():
+    spec = scenes.load("primitives")
+    st = flatten_scene(spec.scene, dtype=jnp.float32)
+    pk = st.packed
+    assert pk.f32.shape[0] == 21
+    assert pk.f32.shape[1] == pk.n_chunks * PACK_CHUNK
+    assert pk.ids.shape == (2, pk.n_chunks * PACK_CHUNK)
+    node = np.asarray(pk.ids[0])
+    tri = np.asarray(pk.ids[1])
+    # Every analytic node appears exactly once; every mesh instance appears
+    # once per (instance, triangle) pair.
+    analytic = node[(node >= 0) & (tri < 0)]
+    mesh_start, mesh_count = st.group(MESH)
+    expected = [
+        n for n in range(st.n_nodes)
+        if not (mesh_start <= n < mesh_start + mesh_count) or mesh_count == 0
+    ]
+    assert sorted(analytic.tolist()) == expected
+    n_pairs_packed = int(((node >= 0) & (tri >= 0)).sum())
+    assert n_pairs_packed == (st.n_pairs if mesh_count > 0 else 0)
+    # Chunk kinds match the node group of each member.
+    kinds = np.asarray(pk.chunk_kind)
+    groups = {k: (s, c) for k, s, c in st.groups}
+    for ci in range(pk.n_chunks):
+        cols = slice(ci * PACK_CHUNK, (ci + 1) * PACK_CHUNK)
+        for nd, tr in zip(node[cols], tri[cols]):
+            if nd < 0:
+                continue
+            k = kinds[ci]
+            s, c = groups[int(k)]
+            assert s <= nd < s + c
+            assert (tr >= 0) == (k == MESH)
+    # Chunk AABBs contain their members' AABBs.
+    amin = np.asarray(st.aabb_min)
+    amax = np.asarray(st.aabb_max)
+    cmin = np.asarray(pk.chunk_min)
+    cmax = np.asarray(pk.chunk_max)
+    for ci in range(pk.n_chunks):
+        cols = slice(ci * PACK_CHUNK, (ci + 1) * PACK_CHUNK)
+        for nd, tr in zip(node[cols], tri[cols]):
+            if nd < 0 or tr >= 0:
+                continue
+            assert (cmin[ci] <= amin[nd] + 1e-6).all()
+            assert (cmax[ci] >= amax[nd] - 1e-6).all()
+
+
+@pytest.mark.parametrize("name", ["simple", "primitives", "smooth-shading"])
+def test_pallas_matches_flat(name):
+    st, o, d = _rays(name)
+    flat = intersect_scene(o, d, 1e-5, jnp.inf, st, FLAT)
+    pal = intersect_scene_pallas(o, d, 1e-5, jnp.inf, st, PAL)
+    np.testing.assert_array_equal(np.asarray(flat.hit), np.asarray(pal.hit))
+    both = np.asarray(flat.hit)
+    np.testing.assert_array_equal(
+        np.asarray(flat.node)[both], np.asarray(pal.node)[both]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(flat.tri)[both], np.asarray(pal.tri)[both]
+    )
+    ft = np.asarray(flat.t)[both]
+    pt = np.asarray(pal.t)[both]
+    np.testing.assert_allclose(pt, ft, rtol=3e-5, atol=1e-5)
+
+
+def test_pallas_any_hit_occlusion():
+    st, o, d = _rays("primitives", n=256)
+    flat = intersect_scene(o, d, 1e-5, jnp.inf, st, FLAT)
+    pal = intersect_scene_pallas(
+        o, d, 1e-5, jnp.inf, st, PAL, any_hit=True
+    )
+    np.testing.assert_array_equal(np.asarray(flat.hit), np.asarray(pal.hit))
+
+
+def test_pallas_respects_active_and_tmax():
+    st, o, d = _rays("simple", n=256)
+    active = jnp.asarray(np.arange(256) % 2 == 0)
+    pal = intersect_scene_pallas(
+        o, d, 1e-5, jnp.inf, st, PAL, active=active
+    )
+    assert not np.asarray(pal.hit)[1::2].any()
+    flat = intersect_scene(o, d, 1e-5, jnp.inf, st, FLAT)
+    # t_max below every hit -> no hits.
+    tmax = jnp.where(flat.hit, flat.t * 0.5, 1e-3)
+    pal2 = intersect_scene_pallas(o, d, 1e-5, tmax, st, PAL)
+    assert not np.asarray(pal2.hit).any()
