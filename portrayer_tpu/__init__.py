@@ -19,7 +19,7 @@ from .config import (
     DIAMOND_REFRACTION_INDEX,
 )
 from .camera import Camera, CameraSettings
-from .render import Image, render_linear, finalize, to_u8
+from .render import Image, render_linear, render_u8, finalize, to_u8
 from .reporter import Reporter, RenderProgress, NullProgress
 from .scene.node import (
     Scene, SceneNode, Geometry, Sphere, Cube, Plane, Cylinder, Cone,
@@ -37,7 +37,7 @@ __all__ = [
     "WINDOW_GLASS_REFRACTION_INDEX", "OPTICAL_GLASS_REFRACTION_INDEX",
     "DIAMOND_REFRACTION_INDEX",
     "Camera", "CameraSettings",
-    "Image", "render_linear", "finalize", "to_u8",
+    "Image", "render_linear", "render_u8", "finalize", "to_u8",
     "Reporter", "RenderProgress", "NullProgress",
     "Scene", "SceneNode", "Geometry",
     "Sphere", "Cube", "Plane", "Cylinder", "Cone",

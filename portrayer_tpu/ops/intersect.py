@@ -30,6 +30,7 @@ from .. import math3d as m3
 from ..config import RenderConfig
 from ..scene.flatten import (
     SceneTables, SPHERE, PLANE, CUBE, CYLINDER, CONE, MESH,
+    node_record, tri_record,
 )
 
 INF = jnp.inf
@@ -51,6 +52,9 @@ class HitDetail(NamedTuple):
                           # the reference never transforms it, scene.rs:96-98)
     has_nmt: jnp.ndarray  # [R] bool
     material: jnp.ndarray # [R] int32
+    rec: jnp.ndarray      # [R,32] the hit node's fused shading record
+                          # (flatten.py node_rec layout) — carries the
+                          # material properties so shading needs no gathers
 
 
 def _guarded_div(n, d, fill=INF):
@@ -451,33 +455,23 @@ def _cube_detail(o, d, t_min, t_max, p, eps, dtype):
     _, face = _cube_face_fold(o, d, t_min, t_max, eps)
     face = jnp.maximum(face, 0)
     R = p.shape[0]
-    normals = jnp.zeros((6, 3), dtype)
-    face_u = jnp.zeros((6,), dtype)
-    face_v = jnp.zeros((6,), dtype)
-    # face_uv selection: normal.x!=0 -> (z, y); normal.y!=0 -> (x, z); else (x, y)
-    uv_sel = []
-    uv_axis = jnp.zeros((6, 2), dtype)
-    uv_off = jnp.zeros((6, 2), dtype)
-    nvecs = []
+    # Branchless 6-way select (static per-face constants; table gathers on
+    # TPU cost ~ms per 256k rays, elementwise selects are ~free).
+    n = jnp.zeros((R, 3), dtype)
+    u = jnp.zeros((R,), dtype)
+    v = jnp.zeros((R,), dtype)
     for fi, (axis, sign, uvax, uvoff) in enumerate(_CUBE_FACE_UV):
-        n = [0.0, 0.0, 0.0]
-        n[axis] = 1.0 if sign > 0 else -1.0
-        nvecs.append(n)
-        uv_axis = uv_axis.at[fi].set(jnp.array(uvax, dtype))
-        uv_off = uv_off.at[fi].set(jnp.array(uvoff, dtype))
-        uv_sel.append((0, 1) if axis == 2 else ((2, 1) if axis == 0 else (0, 2)))
-    normals = jnp.array(nvecs, dtype)           # [6,3]
-    uv_sel = jnp.array(uv_sel, jnp.int32)       # [6,2]
-
-    n = normals[face]                           # [R,3]
-    sel = uv_sel[face]                          # [R,2]
-    fu = jnp.take_along_axis(p, sel[:, :1], axis=-1)[:, 0]
-    fv = jnp.take_along_axis(p, sel[:, 1:2], axis=-1)[:, 0]
-    ax = uv_axis[face]
-    off = uv_off[face]
-    norm_u = fu * ax[:, 0] + 0.5
-    norm_v = 0.5 - fv * ax[:, 1]
-    uv = jnp.stack([norm_u / 4.0, norm_v / 3.0], axis=-1) + off
+        mask = face == fi
+        nvec = [0.0, 0.0, 0.0]
+        nvec[axis] = 1.0 if sign > 0 else -1.0
+        n = jnp.where(mask[:, None], jnp.array(nvec, dtype), n)
+        # face_uv: normal.x!=0 -> (z,y); normal.y!=0 -> (x,z); else (x,y)
+        s0, s1 = (2, 1) if axis == 0 else ((0, 2) if axis == 1 else (0, 1))
+        norm_u = p[..., s0] * uvax[0] + 0.5
+        norm_v = 0.5 - p[..., s1] * uvax[1]
+        u = jnp.where(mask, norm_u / 4.0 + uvoff[0], u)
+        v = jnp.where(mask, norm_v / 3.0 + uvoff[1], v)
+    uv = jnp.stack([u, v], axis=-1)
     # tangent basis (cube.rs:111-136): to_top = normalize((0,1,0)*L - p)
     to_top = m3.normalize(
         jnp.stack([-p[..., 0], 1.0 - p[..., 1], -p[..., 2]], axis=-1), eps=1e-30
@@ -541,10 +535,13 @@ def _cone_detail(o, d, t_min, t_max, p, dtype):
 
 
 def _mesh_detail(lo, ld, tri_ix, st: SceneTables, t_min, t_max, dtype):
-    """Detail for mesh hits: recompute barycentrics on the winning triangle."""
-    a = st.tri_a[tri_ix]
-    b = st.tri_b[tri_ix]
-    c = st.tri_c[tri_ix]
+    """Detail for mesh hits: recompute barycentrics on the winning triangle.
+
+    All per-triangle data comes from ONE fused row gather (st.tri_rec)."""
+    trec = tri_record(st)[tri_ix]               # [R,26] one fused gather
+    a = trec[:, 0:3]
+    b = trec[:, 3:6]
+    c = trec[:, 6:9]
     _, beta, gamma = triangle_candidate(
         lo[:, None, :], ld[:, None, :], a[:, None, :], b[:, None, :], c[:, None, :],
         t_min[:, None], t_max[:, None],
@@ -553,14 +550,14 @@ def _mesh_detail(lo, ld, tri_ix, st: SceneTables, t_min, t_max, dtype):
     gamma = gamma[:, 0]
     alpha = 1.0 - beta - gamma
 
-    smooth = st.tri_smooth[tri_ix]
-    na, nb, nc = st.tri_na[tri_ix], st.tri_nb[tri_ix], st.tri_nc[tri_ix]
+    smooth = trec[:, 24] > 0.5
+    na, nb, nc = trec[:, 9:12], trec[:, 12:15], trec[:, 15:18]
     n_smooth = na * alpha[:, None] + nb * beta[:, None] + nc * gamma[:, None]
     n_flat = m3.cross(b - a, c - a)
     n = jnp.where(smooth[:, None], n_smooth, n_flat)
 
-    has_uv = st.tri_has_uv[tri_ix]
-    uva, uvb, uvc = st.tri_uva[tri_ix], st.tri_uvb[tri_ix], st.tri_uvc[tri_ix]
+    has_uv = trec[:, 25] > 0.5
+    uva, uvb, uvc = trec[:, 18:20], trec[:, 20:22], trec[:, 22:24]
     uv_i = uva * alpha[:, None] + uvb * beta[:, None] + uvc * gamma[:, None]
     # v-flip (triangle.rs:98)
     uv = jnp.stack([uv_i[..., 0], 1.0 - uv_i[..., 1]], axis=-1)
@@ -591,8 +588,11 @@ def hit_detail(o, d, hit: Hit, st: SceneTables, cfg: RenderConfig, t_min) -> Hit
     t_min = jnp.broadcast_to(jnp.asarray(t_min, dtype), (R,))
     t_max = jnp.full((R,), INF, dtype)
 
-    inv = st.inv[node]          # [R,3,4]
-    nmat = st.normal_mat[node]  # [R,3,3]
+    rec = node_record(st)[node]  # [R,32] — the ONLY per-node gather
+    inv = rec[:, 0:12].reshape(R, 3, 4)
+    # Normal matrix = transposed rotation of world->local (scene.rs:204:
+    # invtrans.transposed() applied to w=0 vectors).
+    nmat = jnp.swapaxes(inv[:, :, :3], 1, 2)
     lo = m3.transform_point(inv, o)
     ld = m3.transform_dir(inv, d)
     p_local = lo + t[:, None] * ld
@@ -604,8 +604,7 @@ def hit_detail(o, d, hit: Hit, st: SceneTables, cfg: RenderConfig, t_min) -> Hit
     nmt = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (R, 3, 3))
     has_nmt = jnp.zeros((R,), bool)
 
-    kind_of_node = _node_kinds(st)  # [N] int32 (built host-side, static)
-    ray_kind = kind_of_node[node]
+    ray_kind = rec[:, 31].astype(jnp.int32)
 
     eps = cfg.epsilon
     present = {k for (k, _, _) in st.groups}
@@ -632,19 +631,10 @@ def hit_detail(o, d, hit: Hit, st: SceneTables, cfg: RenderConfig, t_min) -> Hit
 
     # Local normal -> world (normal matrix = inv-transpose 3x3).
     normal_w = m3.matvec3(nmat, normal)
-    material = st.material_id[node]
+    material = rec[:, 24].astype(jnp.int32)
     return HitDetail(
         point=point, normal=normal_w, uv=uv, has_uv=has_uv,
         nmt=nmt, has_nmt=has_nmt,
         material=jnp.where(hit.hit, material, 0),
+        rec=rec,
     )
-
-
-def _node_kinds(st: SceneTables):
-    """[N] int32 primitive kind per node, derived from static group info."""
-    import numpy as np
-
-    kinds = np.zeros(st.n_nodes, np.int32)
-    for kind, start, count in st.groups:
-        kinds[start:start + count] = kind
-    return jnp.asarray(kinds)

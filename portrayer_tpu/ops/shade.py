@@ -52,10 +52,13 @@ def sample_atlas(data, meta, tex_ix, uv):
     return data[idx]                          # [R,3]
 
 
-def _apply_uv_trans(uv_trans, uv):
-    """uv' = (uv_trans @ (u, v, 1)).xy  (material.rs:113-117)."""
-    u = uv_trans[..., 0, 0] * uv[..., 0] + uv_trans[..., 0, 1] * uv[..., 1] + uv_trans[..., 0, 2]
-    v = uv_trans[..., 1, 0] * uv[..., 0] + uv_trans[..., 1, 1] * uv[..., 1] + uv_trans[..., 1, 2]
+def _apply_uv_trans(uvt6, uv):
+    """uv' = (uv_trans @ (u, v, 1)).xy  (material.rs:113-117).
+
+    uvt6: [R,6] — the first two rows of the 3x3 uv transform, from the
+    fused node record (flatten.py node_rec cols 25..30)."""
+    u = uvt6[..., 0] * uv[..., 0] + uvt6[..., 1] * uv[..., 1] + uvt6[..., 2]
+    v = uvt6[..., 3] * uv[..., 0] + uvt6[..., 4] * uv[..., 1] + uvt6[..., 5]
     return jnp.stack([u, v], axis=-1)
 
 
@@ -75,21 +78,22 @@ def shade_hits(
     """Returns (local_color [R,3], Children).  `active` masks live hit lanes."""
     R = d.shape[0]
     dtype = d.dtype
-    mid = det.material
     p = det.point
 
-    mat_diffuse = st.mat_diffuse[mid]
-    mat_specular = st.mat_specular[mid]
-    mat_shininess = st.mat_shininess[mid]
-    mat_reflect = st.mat_reflectivity[mid]
-    mat_glossy = st.mat_glossy[mid]
-    mat_refr = st.mat_refraction[mid]
-    mat_tex = st.mat_tex_id[mid]
-    mat_nm = st.mat_normal_map_id[mid]
-    uv_trans = st.mat_uv_trans[mid]
+    # Material properties come with the hit detail's fused node record
+    # (one gather total instead of nine — see flatten.py node_rec layout).
+    rec = det.rec
+    mat_diffuse = rec[:, 12:15]
+    mat_specular = rec[:, 15:18]
+    mat_shininess = rec[:, 18]
+    mat_reflect = rec[:, 19]
+    mat_glossy = rec[:, 20]
+    mat_refr = rec[:, 21]
+    mat_tex = rec[:, 22].astype(jnp.int32)
+    mat_nm = rec[:, 23].astype(jnp.int32)
 
     view = -d
-    uv = _apply_uv_trans(uv_trans, det.uv)
+    uv = _apply_uv_trans(rec[:, 25:31], det.uv)
 
     # Shading normal: normal map override where available, else normalize.
     n_geom = m3.normalize(det.normal, eps=1e-30)

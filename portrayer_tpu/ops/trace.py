@@ -34,8 +34,18 @@ class _Queue(NamedTuple):
     src_tri: jnp.ndarray  # [Q] int32 triangle the ray spawned from
 
 
+def _acc_add(acc, pix, x, spp_c: int):
+    """acc[pix] += x.  When the queue is pixel-major with spp_c samples per
+    pixel (primary rays), a reshape+sum replaces the scatter-add — TPU
+    scatters cost ~ms per 256k rays, the reshape-sum is ~free."""
+    if spp_c:
+        return acc + x.reshape(acc.shape[0], spp_c, x.shape[-1]).sum(axis=1)
+    return acc.at[pix].add(x)
+
+
 def _round(
     q: _Queue, acc, bg, st: SceneTables, cfg: RenderConfig, rkey, is_last,
+    spp_c: int = 0,
 ):
     """Process one bounce round; returns (acc, children queue of size 2Q)."""
     active = q.w > 0.0
@@ -45,14 +55,20 @@ def _round(
     )
     det = hit_detail(q.o, q.d, hit, st, cfg, q.t_min)
 
-    bgc = bg[q.pix]                                   # [Q,3]
+    if spp_c:  # pixel-major primary queue: broadcast instead of gather
+        Q = q.o.shape[0]
+        bgc = jnp.broadcast_to(
+            bg[:, None, :], (acc.shape[0], spp_c, 3)
+        ).reshape(Q, 3)
+    else:
+        bgc = bg[q.pix]                               # [Q,3]
     miss_w = jnp.where(active & ~hit.hit, q.w, 0.0)
-    acc = acc.at[q.pix].add(miss_w[:, None] * bgc)
+    acc = _acc_add(acc, q.pix, miss_w[:, None] * bgc, spp_c)
 
     local, children, t_eps = shade_hits(
         q.d, hit, det, st, cfg, rkey, active & hit.hit
     )
-    acc = acc.at[q.pix].add(q.w[:, None] * local)
+    acc = _acc_add(acc, q.pix, q.w[:, None] * local, spp_c)
 
     w_refl = q.w * children.refl_mult
     w_refr = q.w * children.refr_mult
@@ -60,8 +76,9 @@ def _round(
     # At the recursion depth limit every child evaluates to the background
     # (material.rs:102-104) — fold that in directly instead of tracing.
     last = jnp.asarray(is_last)
-    acc = acc.at[q.pix].add(
-        jnp.where(last, (w_refl + w_refr), 0.0)[:, None] * bgc
+    acc = _acc_add(
+        acc, q.pix,
+        jnp.where(last, (w_refl + w_refr), 0.0)[:, None] * bgc, spp_c,
     )
     w_refl = jnp.where(last, 0.0, w_refl)
     w_refr = jnp.where(last, 0.0, w_refr)
@@ -107,12 +124,14 @@ def _compact(child: _Queue, capacity: int, acc, bg):
 
 def trace(
     key, o0, d0, pix0, bg, n_pixels: int, st: SceneTables, cfg: RenderConfig,
-    w0=None,
+    w0=None, spp_contiguous: int = 0,
 ):
     """Trace primary rays through the scene.
 
     o0, d0: [R,3] primary rays; pix0: [R] pixel index; bg: [P,3] per-pixel
     background colour; w0: optional [R] initial throughput (0 = dead lane).
+    spp_contiguous > 0 asserts pix0 == repeat(arange(P), spp) so the primary
+    round can use reshape-sums instead of scatter-adds.
     Returns acc [P,3]: the sum of per-sample radiances scattered to their
     pixels (caller divides by spp).
     """
@@ -137,7 +156,7 @@ def trace(
 
     # Round 0 (primary rays).
     acc, child = _round(q, acc, bg, st, cfg, jax.random.fold_in(key, 0),
-                        is_last=(max_depth == 0))
+                        is_last=(max_depth == 0), spp_c=spp_contiguous)
     if max_depth == 0:
         return acc
 

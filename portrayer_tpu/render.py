@@ -83,7 +83,7 @@ def _tile_chunk(
 
     acc = trace(
         jax.random.fold_in(key, 1), o, d, pix_id, bg, P, st, cfg,
-        w0=live.astype(dtype),
+        w0=live.astype(dtype), spp_contiguous=spp,
     )
     return acc  # [P,3] radiance sums (divide by total spp at finalize)
 
@@ -93,17 +93,21 @@ def _tile_chunk(
     static_argnames=(
         "cfg", "background", "tile_h", "tile_w", "spp", "n_chunks",
         "samples", "width", "height", "aspect", "fov_factor", "grid",
+        "as_u8",
     ),
 )
 def _render_image(
     key, st: SceneTables, eye, view_to_world,
     *, cfg: RenderConfig, background, tile_h: int, tile_w: int, spp: int,
     n_chunks: int, samples: int, width: float, height: float,
-    aspect: float, fov_factor: float, grid,
+    aspect: float, fov_factor: float, grid, as_u8: bool = False,
 ):
     """Render every tile in `grid` (static tuple of (x0, y0) origins) in a
     single device dispatch: lax.map over tiles, fori_loop over sample
-    chunks.  Returns [T, tile_h, tile_w, 3] mean radiance."""
+    chunks.  Returns [T, tile_h, tile_w, 3] mean radiance — or, with
+    as_u8, the gamma-encoded u8 image tiles (render.rs:47-50,143-147
+    computed on device; 4x less device->host transfer, which matters on
+    relay-attached TPUs)."""
     dtype = cfg.dtype
     P = tile_h * tile_w
     origins = jnp.asarray(grid, jnp.int32)  # [T,2] (x0, y0)
@@ -125,7 +129,13 @@ def _render_image(
             )
 
         acc = jax.lax.fori_loop(0, n_chunks, chunk_fn, jnp.zeros((P, 3), dtype))
-        return (acc / samples).reshape(tile_h, tile_w, 3)
+        mean = (acc / samples).reshape(tile_h, tile_w, 3)
+        if as_u8:
+            enc = jnp.clip(
+                jnp.maximum(mean, 0.0) ** (1.0 / GAMMA), 0.0, 1.0
+            )
+            return (enc * 255.0).astype(jnp.uint8)
+        return mean
 
     return jax.lax.map(tile_fn, jnp.arange(len(grid)))
 
@@ -142,6 +152,16 @@ def render_linear(
     """Render and return the *linear* mean-radiance image [H,W,3] float.
 
     `region` = ((x1,y1),(x2,y2)) inclusive slice to render (others zero)."""
+    return _render_common(
+        scene_or_tables, camera, size, background, cfg, region, reporter,
+        as_u8=False,
+    )
+
+
+def _render_common(
+    scene_or_tables, camera, size, background, cfg, region, reporter,
+    as_u8: bool,
+):
     width, height = size
     if isinstance(scene_or_tables, SceneTables):
         st = scene_or_tables
@@ -184,10 +204,12 @@ def render_linear(
         spp=spp_chunk, n_chunks=n_chunks, samples=samples,
         width=cam.width, height=cam.height,
         aspect=cam.aspect, fov_factor=cam.fov_factor, grid=grid,
+        as_u8=as_u8,
     )
-    tiles = np.asarray(tiles, dtype=np.float64)  # [T, th, tw, 3]
+    out_dtype = np.uint8 if as_u8 else np.float64
+    tiles = np.asarray(tiles, dtype=out_dtype)  # [T, th, tw, 3]
 
-    out = np.zeros((height, width, 3), dtype=np.float64)
+    out = np.zeros((height, width, 3), dtype=out_dtype)
     for (tx0, ty0), tile in zip(grid, tiles):
         ylim = min(ty0 + tile_h, height)
         xlim = min(tx0 + tile_w, width)
@@ -195,6 +217,24 @@ def render_linear(
     reporter.tick()
     reporter.finish()
     return out
+
+
+def render_u8(
+    scene_or_tables,
+    camera: CameraSettings,
+    size: Tuple[int, int],
+    background: Callable = default_background,
+    cfg: RenderConfig = RenderConfig(),
+    region: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None,
+    reporter: Optional[Reporter] = None,
+) -> np.ndarray:
+    """Render straight to the gamma-encoded u8 image [H,W,3] (the
+    reference's final pixel format, render.rs:143-147), finalized on
+    device."""
+    return _render_common(
+        scene_or_tables, camera, size, background, cfg, region, reporter,
+        as_u8=True,
+    )
 
 
 def finalize(linear: np.ndarray) -> np.ndarray:
@@ -231,11 +271,10 @@ class Image:
         cfg: RenderConfig = RenderConfig(),
         region=None, reporter: Optional[Reporter] = None,
     ):
-        linear = render_linear(
+        u8 = render_u8(
             scene, camera, (self.width, self.height), background, cfg,
             region=region, reporter=reporter,
         )
-        u8 = to_u8(finalize(linear))
         if region is None:
             self.buffer = u8
         else:

@@ -571,3 +571,78 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
         any_image_tex=len(image_textures) > 0,
         any_normal_map=len(normal_maps) > 0,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused shading records — built with jnp ops from the traced tables so that
+# reverse-mode AD flows to the material/light parameters, then gathered by
+# ONE row gather per ray (TPU gathers cost ~4 ms per 256k-row gather; the
+# fused record is the difference between ~11 gathers and 1 in
+# hit_detail/shade).
+# ---------------------------------------------------------------------------
+
+# node_record column layout:
+#   0..11  world->local affine (row-major 3x4); the normal matrix is its
+#          transposed 3x3 rotation (scene.rs:204), not stored.
+#   12..14 diffuse  15..17 specular  18 shininess  19 reflectivity
+#   20 glossy_side_length  21 refraction_index
+#   22 tex_id  23 normal_map_id  24 material_id   (float-encoded ints)
+#   25..30 uv_trans rows 0..1 (m00 m01 m02 m10 m11 m12)
+#   31 primitive kind
+REC_INV = slice(0, 12)
+REC_DIFFUSE = slice(12, 15)
+REC_SPECULAR = slice(15, 18)
+REC_SHININESS = 18
+REC_REFLECTIVITY = 19
+REC_GLOSSY = 20
+REC_REFRACTION = 21
+REC_TEX_ID = 22
+REC_NM_ID = 23
+REC_MATERIAL = 24
+REC_UV_TRANS = slice(25, 31)
+REC_KIND = 31
+
+
+def node_record(st: "SceneTables") -> jnp.ndarray:
+    """[N,32] fused per-node shading record (differentiable)."""
+    N = st.n_nodes
+    dt = st.inv.dtype
+    mid = st.material_id
+    kinds = np.zeros(N, np.int32)
+    for kind, start, count in st.groups:
+        kinds[start:start + count] = kind
+    col = lambda x: x[:, None].astype(dt)
+    return jnp.concatenate(
+        [
+            st.inv.reshape(N, 12),
+            st.mat_diffuse[mid],
+            st.mat_specular[mid],
+            col(st.mat_shininess[mid]),
+            col(st.mat_reflectivity[mid]),
+            col(st.mat_glossy[mid]),
+            col(st.mat_refraction[mid]),
+            col(st.mat_tex_id[mid]),
+            col(st.mat_normal_map_id[mid]),
+            col(mid),
+            st.mat_uv_trans[mid][:, :2, :].reshape(N, 6),
+            jnp.asarray(kinds[:, None], dt),
+        ],
+        axis=1,
+    )
+
+
+# tri_record column layout:
+#   0..8 a,b,c   9..17 na,nb,nc   18..23 uva,uvb,uvc   24 smooth  25 has_uv
+def tri_record(st: "SceneTables") -> jnp.ndarray:
+    """[T,26] fused per-triangle detail record (differentiable)."""
+    dt = st.tri_a.dtype
+    col = lambda x: x[:, None].astype(dt)
+    return jnp.concatenate(
+        [
+            st.tri_a, st.tri_b, st.tri_c,
+            st.tri_na, st.tri_nb, st.tri_nc,
+            st.tri_uva, st.tri_uvb, st.tri_uvc,
+            col(st.tri_smooth), col(st.tri_has_uv),
+        ],
+        axis=1,
+    )

@@ -205,9 +205,8 @@ class TestNearest:
         )
         st = flatten_scene(scene, dtype=jnp.float32)
         hit, _ = cast(st, [[0, 0, 5]], [[0, 0, -1]])
-        from portrayer_tpu.scene.flatten import CUBE
-        from portrayer_tpu.ops.intersect import _node_kinds
-        kind = int(_node_kinds(st)[int(hit.node[0])])
+        from portrayer_tpu.scene.flatten import CUBE, node_record, REC_KIND
+        kind = int(node_record(st)[int(hit.node[0]), REC_KIND])
         assert kind == CUBE
         assert np.isclose(float(hit.t[0]), 6.5, atol=1e-5)
 
