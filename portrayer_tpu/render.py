@@ -289,6 +289,13 @@ class Image:
         return self.save_as(self.path)
 
     def save_as(self, path):
+        from . import native
+
+        png = native.png_encode(self.buffer)
+        if png is not None and str(path).lower().endswith(".png"):
+            with open(path, "wb") as f:
+                f.write(png)
+            return path
         from PIL import Image as PILImage
 
         PILImage.fromarray(self.buffer, mode="RGB").save(path)

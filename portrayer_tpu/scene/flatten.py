@@ -75,6 +75,11 @@ def _morton_order(amin: np.ndarray, amax: np.ndarray) -> np.ndarray:
     """Stable spatial sort of AABBs by 30-bit Morton code of their centers."""
     if amin.shape[0] <= 1:
         return np.arange(amin.shape[0])
+    from .. import native
+
+    order = native.morton_order(amin, amax)
+    if order is not None:
+        return order
     c = 0.5 * (amin + amax)
     lo = c.min(axis=0)
     span = np.maximum(c.max(axis=0) - lo, 1e-30)
@@ -121,8 +126,8 @@ def _build_packed(
                 continue
             pn = np.asarray(pair_node)
             pt = np.asarray(pair_tri)
-            amin = np.stack(pair_amin)
-            amax = np.stack(pair_amax)
+            amin = np.asarray(pair_amin)
+            amax = np.asarray(pair_amax)
             order = _morton_order(amin, amax)
             pn, pt = pn[order], pt[order]
             f = np.concatenate(
@@ -271,50 +276,64 @@ def _world_aabb(trans4, lmin, lmax):
 def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
     flat: List[_FlatNode] = []
 
-    # Triangle soup accumulators; mesh/triangle primitives share ranges.
-    tri_rows: List[Tuple] = []  # (a,b,c, na,nb,nc, smooth, uva,uvb,uvc, has_uv)
+    # Triangle soup accumulators (numpy blocks; mesh data shared between
+    # instances gets one block, keyed by (data identity, shading)).
+    tri_blocks: List[Dict[str, np.ndarray]] = []
+    tri_total = 0
     tri_range_cache: Dict[Tuple[int, Any], Tuple[int, int]] = {}
+
+    def _push_block(a, b, c, na, nb, nc, uva, uvb, uvc, smooth, has_uv):
+        nonlocal tri_total
+        K = len(a)
+        tri_blocks.append({
+            "tri_a": a, "tri_b": b, "tri_c": c,
+            "tri_na": na, "tri_nb": nb, "tri_nc": nc,
+            "tri_uva": uva, "tri_uvb": uvb, "tri_uvc": uvc,
+            "tri_smooth": np.full(K, smooth, bool),
+            "tri_has_uv": np.full(K, has_uv, bool),
+        })
+        rng = (tri_total, K)
+        tri_total += K
+        return rng
 
     def mesh_tri_range(mesh: Mesh) -> Tuple[int, int]:
         key = (id(mesh.data), mesh.shading)
         if key in tri_range_cache:
             return tri_range_cache[key]
-        start = len(tri_rows)
         d = mesh.data
+        t = np.asarray(d.triangles, np.int64).reshape(-1, 3)
+        K = len(t)
         smooth = mesh.shading == Shading.Smooth
         has_uv = len(d.tex_coords) > 0
-        zeros3 = np.zeros(3)
-        zeros2 = np.zeros(2)
-        for (ia, ib, ic) in d.triangles:
-            tri_rows.append(
-                (
-                    d.positions[ia], d.positions[ib], d.positions[ic],
-                    d.normals[ia] if smooth else zeros3,
-                    d.normals[ib] if smooth else zeros3,
-                    d.normals[ic] if smooth else zeros3,
-                    smooth,
-                    d.tex_coords[ia] if has_uv else zeros2,
-                    d.tex_coords[ib] if has_uv else zeros2,
-                    d.tex_coords[ic] if has_uv else zeros2,
-                    has_uv,
-                )
-            )
-        rng = (start, len(tri_rows) - start)
+        z3 = np.zeros((K, 3))
+        z2 = np.zeros((K, 2))
+        rng = _push_block(
+            d.positions[t[:, 0]], d.positions[t[:, 1]], d.positions[t[:, 2]],
+            d.normals[t[:, 0]] if smooth else z3,
+            d.normals[t[:, 1]] if smooth else z3,
+            d.normals[t[:, 2]] if smooth else z3,
+            d.tex_coords[t[:, 0]] if has_uv else z2,
+            d.tex_coords[t[:, 1]] if has_uv else z2,
+            d.tex_coords[t[:, 2]] if has_uv else z2,
+            smooth, has_uv,
+        )
         tri_range_cache[key] = rng
         return rng
 
     def triangle_tri_range(tri: Triangle) -> Tuple[int, int]:
-        start = len(tri_rows)
         smooth = tri.normals is not None
         has_uv = tri.tex_coords is not None
-        zeros3 = np.zeros(3)
-        zeros2 = np.zeros(2)
-        n = tri.normals if smooth else (zeros3, zeros3, zeros3)
-        t = tri.tex_coords if has_uv else (zeros2, zeros2, zeros2)
-        tri_rows.append(
-            (tri.a, tri.b, tri.c, n[0], n[1], n[2], smooth, t[0], t[1], t[2], has_uv)
+        z3 = (np.zeros(3), np.zeros(3), np.zeros(3))
+        z2 = (np.zeros(2), np.zeros(2), np.zeros(2))
+        n = tri.normals if smooth else z3
+        t = tri.tex_coords if has_uv else z2
+        row = lambda x: np.asarray(x, np.float64)[None]
+        return _push_block(
+            row(tri.a), row(tri.b), row(tri.c),
+            row(n[0]), row(n[1]), row(n[2]),
+            row(t[0]), row(t[1]), row(t[2]),
+            smooth, has_uv,
         )
-        return (start, 1)
 
     # BFS flatten, composing transforms (flat_scene.rs:27-40).
     queue: List[Tuple[np.ndarray, SceneNode]] = [(m3.identity4(), scene.root)]
@@ -428,58 +447,92 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
         mat_tex_id[i] = tex_code(m.texture)
         mat_nm_id[i] = nm_code(m.normals)
 
-    # Node tables.
-    N = max(len(flat), 1)
-    trans = np.tile(np.eye(3, 4), (N, 1, 1))
-    inv = np.tile(np.eye(3, 4), (N, 1, 1))
-    normal_mat = np.tile(np.eye(3), (N, 1, 1))
-    material_id = np.zeros(N, dtype=np.int32)
-    mesh_range = np.zeros((N, 2), dtype=np.int32)
-    aabb_min = np.zeros((N, 3))
-    aabb_max = np.zeros((N, 3))
-    pair_node: List[int] = []
-    pair_tri: List[int] = []
-    pair_amin: List[np.ndarray] = []
-    pair_amax: List[np.ndarray] = []
-    for i, f in enumerate(flat):
-        t4 = f.trans
-        trans[i] = m3.to_affine34(t4)
-        inv[i] = m3.to_affine34(m3.invert(t4))
-        normal_mat[i] = m3.normal_matrix(t4)
-        material_id[i] = mat_index[id(f.material)]
-        if f.kind == MESH:
-            mesh_range[i] = f.tri_range
-            lmin, lmax = f.local_min, f.local_max
-            rot = t4[:3, :3]
-            off = t4[:3, 3]
-            for tj in range(f.tri_range[0], f.tri_range[0] + f.tri_range[1]):
-                pair_node.append(i)
-                pair_tri.append(tj)
-                verts = np.stack(
-                    [tri_rows[tj][0], tri_rows[tj][1], tri_rows[tj][2]]
-                ) @ rot.T + off
-                pair_amin.append(verts.min(axis=0))
-                pair_amax.append(verts.max(axis=0))
-        else:
-            lmin, lmax = _LOCAL_BOUNDS[f.kind]
-        aabb_min[i], aabb_max[i] = _world_aabb(t4, lmin, lmax)
+    # Triangle arrays (block concat).
+    if tri_blocks:
+        tri = {
+            k: np.concatenate([blk[k] for blk in tri_blocks], axis=0)
+            for k in tri_blocks[0]
+        }
+    else:
+        tri = {
+            "tri_a": np.zeros((1, 3)), "tri_b": np.zeros((1, 3)),
+            "tri_c": np.zeros((1, 3)),
+            "tri_na": np.zeros((1, 3)), "tri_nb": np.zeros((1, 3)),
+            "tri_nc": np.zeros((1, 3)),
+            "tri_uva": np.zeros((1, 2)), "tri_uvb": np.zeros((1, 2)),
+            "tri_uvc": np.zeros((1, 2)),
+            "tri_smooth": np.zeros(1, bool), "tri_has_uv": np.zeros(1, bool),
+        }
 
-    # Triangle arrays.
-    T = max(len(tri_rows), 1)
-    tri = {
-        "tri_a": np.zeros((T, 3)), "tri_b": np.zeros((T, 3)), "tri_c": np.zeros((T, 3)),
-        "tri_na": np.zeros((T, 3)), "tri_nb": np.zeros((T, 3)), "tri_nc": np.zeros((T, 3)),
-        "tri_smooth": np.zeros(T, dtype=bool),
-        "tri_uva": np.zeros((T, 2)), "tri_uvb": np.zeros((T, 2)), "tri_uvc": np.zeros((T, 2)),
-        "tri_has_uv": np.zeros(T, dtype=bool),
-    }
-    for j, row in enumerate(tri_rows):
-        (a, b, c, na, nb, nc, sm, uva, uvb, uvc, huv) = row
-        tri["tri_a"][j], tri["tri_b"][j], tri["tri_c"][j] = a, b, c
-        tri["tri_na"][j], tri["tri_nb"][j], tri["tri_nc"][j] = na, nb, nc
-        tri["tri_smooth"][j] = sm
-        tri["tri_uva"][j], tri["tri_uvb"][j], tri["tri_uvc"][j] = uva, uvb, uvc
-        tri["tri_has_uv"][j] = huv
+    # Node tables — batched numpy (the reference's per-node cached matrices,
+    # flat_scene.rs:50-131, computed for all nodes at once).
+    N = max(len(flat), 1)
+    if flat:
+        t4 = np.stack([f.trans for f in flat])            # [N,4,4]
+        inv4 = np.linalg.inv(t4)
+        trans = t4[:, :3, :4].copy()
+        inv = inv4[:, :3, :4].copy()
+        normal_mat = np.linalg.inv(t4[:, :3, :3]).transpose(0, 2, 1).copy()
+        material_id = np.asarray(
+            [mat_index[id(f.material)] for f in flat], np.int32
+        )
+        mesh_range = np.asarray(
+            [f.tri_range if f.kind == MESH else (0, 0) for f in flat],
+            np.int32,
+        )
+        lmin = np.stack([
+            f.local_min if f.kind == MESH else _LOCAL_BOUNDS[f.kind][0]
+            for f in flat
+        ])
+        lmax = np.stack([
+            f.local_max if f.kind == MESH else _LOCAL_BOUNDS[f.kind][1]
+            for f in flat
+        ])
+        # World AABB via all 8 transformed corners (bounding_box.rs:123-148).
+        world_min = np.full((N, 3), np.inf)
+        world_max = np.full((N, 3), -np.inf)
+        for ci in range(8):
+            sel = np.array([(ci >> 2) & 1, (ci >> 1) & 1, ci & 1], bool)
+            corner = np.where(sel, lmax, lmin)            # [N,3]
+            w = np.einsum("nij,nj->ni", t4[:, :3, :3], corner) + t4[:, :3, 3]
+            world_min = np.minimum(world_min, w)
+            world_max = np.maximum(world_max, w)
+        aabb_min, aabb_max = world_min, world_max
+    else:
+        trans = np.tile(np.eye(3, 4), (N, 1, 1))
+        inv = np.tile(np.eye(3, 4), (N, 1, 1))
+        normal_mat = np.tile(np.eye(3), (N, 1, 1))
+        material_id = np.zeros(N, np.int32)
+        mesh_range = np.zeros((N, 2), np.int32)
+        aabb_min = np.zeros((N, 3))
+        aabb_max = np.zeros((N, 3))
+
+    # Instance-triangle pairs — batched (instanced meshes duplicate pairs,
+    # not triangle data).
+    mesh_ids = np.asarray(
+        [i for i, f in enumerate(flat) if f.kind == MESH], np.int64
+    )
+    if mesh_ids.size:
+        starts = np.asarray([flat[i].tri_range[0] for i in mesh_ids])
+        counts = np.asarray([flat[i].tri_range[1] for i in mesh_ids])
+        pair_node = np.repeat(mesh_ids, counts).astype(np.int64)
+        pair_tri = np.concatenate(
+            [np.arange(s, s + c) for s, c in zip(starts, counts)]
+        ).astype(np.int64)
+        verts3 = np.stack(
+            [tri["tri_a"][pair_tri], tri["tri_b"][pair_tri],
+             tri["tri_c"][pair_tri]], axis=1,
+        )                                                  # [P,3,3]
+        rot = t4[pair_node][:, :3, :3]
+        off = t4[pair_node][:, :3, 3]
+        world = np.einsum("pij,pkj->pki", rot, verts3) + off[:, None, :]
+        pair_amin = world.min(axis=1)
+        pair_amax = world.max(axis=1)
+    else:
+        pair_node = np.zeros((0,), np.int64)
+        pair_tri = np.zeros((0,), np.int64)
+        pair_amin = np.zeros((0, 3))
+        pair_amax = np.zeros((0, 3))
 
     # Lights.
     L = max(len(scene.lights), 1)
@@ -540,10 +593,10 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
         tri_smooth=b8(tri["tri_smooth"]),
         tri_uva=f(tri["tri_uva"]), tri_uvb=f(tri["tri_uvb"]), tri_uvc=f(tri["tri_uvc"]),
         tri_has_uv=b8(tri["tri_has_uv"]),
-        pair_node=i32(pair_node if pair_node else [0]),
-        pair_tri=i32(pair_tri if pair_tri else [0]),
-        pair_aabb_min=f(np.stack(pair_amin) if pair_amin else np.zeros((1, 3))),
-        pair_aabb_max=f(np.stack(pair_amax) if pair_amax else np.zeros((1, 3))),
+        pair_node=i32(pair_node if pair_node.size else [0]),
+        pair_tri=i32(pair_tri if pair_tri.size else [0]),
+        pair_aabb_min=f(pair_amin if pair_amin.size else np.zeros((1, 3))),
+        pair_aabb_max=f(pair_amax if pair_amax.size else np.zeros((1, 3))),
         mat_diffuse=f(mat_diffuse), mat_specular=f(mat_specular),
         mat_shininess=f(mat_shininess), mat_reflectivity=f(mat_reflectivity),
         mat_glossy=f(mat_glossy), mat_refraction=f(mat_refraction),

@@ -49,6 +49,23 @@ class MeshData:
 
     @classmethod
     def load_obj(cls, path) -> "MeshData":
+        from .. import native
+
+        loaded = native.obj_load(path)
+        if loaded is not None:
+            pos, uv, norm, tris, has_uv, has_norm = loaded
+            if len(pos):
+                return cls(
+                    positions=pos,
+                    triangles=tris,
+                    normals=norm if has_norm else None,
+                    tex_coords=uv if has_uv else None,
+                )
+        return cls._load_obj_py(path)
+
+    @classmethod
+    def _load_obj_py(cls, path) -> "MeshData":
+        """Pure-Python OBJ parser (fallback for the native loader)."""
         positions, tex_coords, normals = [], [], []
         # Unified vertex stream: one index per unique v/vt/vn triple.
         out_pos, out_uv, out_norm = [], [], []

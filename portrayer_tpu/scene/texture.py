@@ -35,8 +35,10 @@ class ImageTexture:
     def __init__(self, path=None, *, data: Optional[np.ndarray] = None):
         if data is None:
             data = _load_image_rgb(path)
-        self.raw = np.asarray(data, dtype=np.float64)  # 0..1 sRGB-encoded
-        self.linear = self.raw ** GAMMA
+        # float32: device dtype; halves atlas build/transfer time on
+        # texture-heavy scenes (graphics-castle).
+        self.raw = np.asarray(data, dtype=np.float32)  # 0..1 sRGB-encoded
+        self.linear = (self.raw.astype(np.float64) ** GAMMA).astype(np.float32)
         self.path = path
 
     @property
@@ -56,7 +58,7 @@ class NormalMap:
     def __init__(self, path=None, *, data: Optional[np.ndarray] = None):
         if data is None:
             data = _load_image_rgb(path)
-        self.raw = np.asarray(data, dtype=np.float64)
+        self.raw = np.asarray(data, dtype=np.float32)
         self.path = path
 
     def __hash__(self):
