@@ -117,7 +117,7 @@ class RenderConfig:
     # per VMEM slab, and interpreter-mode override (None = auto: interpret
     # everywhere except real TPU backends).
     pallas_block: int = 256
-    pallas_slab_chunks: int = 128
+    pallas_slab_chunks: int = 256
     pallas_interpret: Optional[bool] = None
 
     # Beam-sweep parameters: rays per warp, number of front-to-back t

@@ -204,10 +204,7 @@ def _branches(t_max, eps):
 def _make_kernel(B, SCp, eps, self_eps_local, dtype, any_hit=False):
     use_src = self_eps_local > 0.0
 
-    def kernel(cand_ref, te_ref,
-               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               tmin_ref, tmax_ref, src_ref, srct_ref, act_ref,
-               pf_ref, pid_ref,
+    def kernel(candte_ref, rays_ref, pf_ref, pid_ref,
                bt_ref, bn_ref, btr_ref):
         s = pl.program_id(1)
 
@@ -217,18 +214,19 @@ def _make_kernel(B, SCp, eps, self_eps_local, dtype, any_hit=False):
             bn_ref[0] = jnp.full((B, 1), -1, jnp.int32)
             btr_ref[0] = jnp.full((B, 1), -1, jnp.int32)
 
-        col = lambda ref: ref[0]  # block (1, B, 1) -> [B, 1]
-        ox, oy, oz = col(ox_ref), col(oy_ref), col(oz_ref)
-        dx, dy, dz = col(dx_ref), col(dy_ref), col(dz_ref)
-        tmin = col(tmin_ref)
-        tmax = col(tmax_ref)
-        act = col(act_ref) > 0.0
-        src = col(src_ref)
-        srct = col(srct_ref)
-        bt_prev = col(bt_ref)  # carried across slabs (s iterates fastest)
+        rays = rays_ref[0]                       # [B, 11] (one DMA per step)
+        col = lambda i: rays[:, i:i + 1]         # [B, 1] lane slices
+        ox, oy, oz = col(0), col(1), col(2)
+        dx, dy, dz = col(3), col(4), col(5)
+        tmin = col(6)
+        tmax = col(7)
+        src = col(8).astype(jnp.int32)           # ids stored as exact floats
+        srct = col(9).astype(jnp.int32)
+        act = col(10) > 0.0
+        bt_prev = bt_ref[0]  # carried across slabs (s iterates fastest)
 
-        te_row = te_ref[0]      # block (1, 1, SCp) -> [1, SCp]; +inf = dead
-        cand_row = cand_ref[0]
+        te_row = candte_ref[0, 0:1, :]  # [1, SCp]; +inf = dead
+        cand_row = candte_ref[0, 1:2, :].astype(jnp.int32)
         lane_sc = jax.lax.broadcasted_iota(jnp.int32, (1, SCp), 1)
         has_act = jnp.any(act)
         neg_inf = jnp.asarray(-INF, dtype)
@@ -284,7 +282,7 @@ def _make_kernel(B, SCp, eps, self_eps_local, dtype, any_hit=False):
 
         def body(state):
             ci, btl, bnl, btrl = state
-            cand = pick_scalar(cand_row, ci, 0)
+            cand = pick_scalar(cand_row, ci, jnp.int32(0))
             t, node, tri = chunk_hits(cand)
             better = t < btl
             btl = jnp.where(better, t, btl)
@@ -322,11 +320,6 @@ def _make_kernel(B, SCp, eps, self_eps_local, dtype, any_hit=False):
 # ---------------------------------------------------------------------------
 # Wrapper: XLA cull prologue + pallas_call
 # ---------------------------------------------------------------------------
-
-def _col3(x):
-    """[N, X] -> [N, X, 1] (TPU block layout: full trailing dims)."""
-    return x[..., None]
-
 
 def intersect_scene_pallas(
     o, d, t_min, t_max, st: SceneTables, cfg: RenderConfig,
@@ -401,18 +394,33 @@ def intersect_scene_pallas(
     cand = order * 8 + kind_sorted
 
     SCp = SC
-    cand2 = cand.reshape(NB * Nslab, 1, SCp)
-    te2 = te_s.reshape(NB * Nslab, 1, SCp)
-    actf = actb.astype(dtype)
+    # One packed (entry-t, candidate-id) array and one packed ray array per
+    # block: a handful of DMAs per grid step instead of 15 (small-DMA issue
+    # latency dominated all-dead rounds).
+    candte = jnp.stack(
+        [te_s.reshape(NB * Nslab, SCp),
+         cand.reshape(NB * Nslab, SCp).astype(dtype)],
+        axis=1,
+    )                                                   # [NBs, 2, SCp]
+    rays_packed = jnp.stack(
+        [
+            ob[..., 0], ob[..., 1], ob[..., 2],
+            db[..., 0], db[..., 1], db[..., 2],
+            tminb, tmaxb,
+            srcb.astype(dtype), srctb.astype(dtype),
+            actb.astype(dtype),
+        ],
+        axis=-1,
+    )                                                   # [NB, B, 11]
 
     kernel = _make_kernel(B, SCp, cfg.epsilon, cfg.self_eps_local, dtype,
                           any_hit=any_hit)
 
-    ray_spec = pl.BlockSpec((1, B, 1), lambda b, s: (b, 0, 0),
-                            memory_space=pltpu.VMEM)
-    cand_spec = pl.BlockSpec((1, 1, SCp),
-                             lambda b, s: (b * Nslab + s, 0, 0),
+    rays_spec = pl.BlockSpec((1, B, 11), lambda b, s: (b, 0, 0),
                              memory_space=pltpu.VMEM)
+    candte_spec = pl.BlockSpec((1, 2, SCp),
+                               lambda b, s: (b * Nslab + s, 0, 0),
+                               memory_space=pltpu.VMEM)
     pf_spec = pl.BlockSpec((21, SC * C), lambda b, s: (0, s),
                            memory_space=pltpu.VMEM)
     pid_spec = pl.BlockSpec((2, SC * C), lambda b, s: (0, s),
@@ -429,12 +437,7 @@ def intersect_scene_pallas(
     bt, bn, btr = pl.pallas_call(
         kernel,
         grid=(NB, Nslab),
-        in_specs=[
-            cand_spec, cand_spec,
-            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
-            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
-            pf_spec, pid_spec,
-        ],
+        in_specs=[candte_spec, rays_spec, pf_spec, pid_spec],
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct((NB, B, 1), dtype),
@@ -442,14 +445,7 @@ def intersect_scene_pallas(
             jax.ShapeDtypeStruct((NB, B, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(
-        cand2, te2,
-        _col3(ob[..., 0]), _col3(ob[..., 1]), _col3(ob[..., 2]),
-        _col3(db[..., 0]), _col3(db[..., 1]), _col3(db[..., 2]),
-        _col3(tminb), _col3(tmaxb),
-        _col3(srcb), _col3(srctb), _col3(actf),
-        pf, pid,
-    )
+    )(candte, rays_packed, pf, pid)
 
     bt = bt.reshape(R)[:R0]
     bn = bn.reshape(R)[:R0]

@@ -63,22 +63,21 @@ def _round(
     else:
         bgc = bg[q.pix]                               # [Q,3]
     miss_w = jnp.where(active & ~hit.hit, q.w, 0.0)
-    acc = _acc_add(acc, q.pix, miss_w[:, None] * bgc, spp_c)
 
     local, children, t_eps = shade_hits(
         q.d, hit, det, st, cfg, rkey, active & hit.hit
     )
-    acc = _acc_add(acc, q.pix, q.w[:, None] * local, spp_c)
 
     w_refl = q.w * children.refl_mult
     w_refr = q.w * children.refr_mult
 
-    # At the recursion depth limit every child evaluates to the background
-    # (material.rs:102-104) — fold that in directly instead of tracing.
+    # One combined accumulation per round (scatters are ~ms-level on TPU):
+    # background for misses + local shading + the depth-limit cut-off where
+    # every child evaluates to the background (material.rs:102-104).
     last = jnp.asarray(is_last)
+    bg_w = miss_w + jnp.where(last, w_refl + w_refr, 0.0)
     acc = _acc_add(
-        acc, q.pix,
-        jnp.where(last, (w_refl + w_refr), 0.0)[:, None] * bgc, spp_c,
+        acc, q.pix, bg_w[:, None] * bgc + q.w[:, None] * local, spp_c
     )
     w_refl = jnp.where(last, 0.0, w_refl)
     w_refr = jnp.where(last, 0.0, w_refr)
