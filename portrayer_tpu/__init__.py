@@ -22,7 +22,7 @@ from .camera import Camera, CameraSettings
 from .render import Image, render_linear, render_u8, finalize, to_u8
 from .reporter import Reporter, RenderProgress, NullProgress
 from .scene.node import (
-    Scene, SceneNode, Geometry, Sphere, Cube, Plane, Cylinder, Cone,
+    Scene, SceneNode, Geometry, Sphere, Cube, Plane, Cylinder, Cone, Torus,
 )
 from .scene.material import Material
 from .scene.light import Light, Falloff, Parallelogram
@@ -40,7 +40,7 @@ __all__ = [
     "Image", "render_linear", "render_u8", "finalize", "to_u8",
     "Reporter", "RenderProgress", "NullProgress",
     "Scene", "SceneNode", "Geometry",
-    "Sphere", "Cube", "Plane", "Cylinder", "Cone",
+    "Sphere", "Cube", "Plane", "Cylinder", "Cone", "Torus",
     "Material", "Light", "Falloff", "Parallelogram",
     "Mesh", "KDMesh", "MeshData", "Shading", "Triangle",
     "Texture", "ImageTexture", "NormalMap",

@@ -189,3 +189,131 @@ def smallest_root_in_range(a, b, c, t_min, t_max):
     ok1 = (r1 >= t_min) & (r1 < t_max)
     t = jnp.where(ok0, r0, jnp.where(ok1, r1, jnp.inf))
     return t, ok0 | ok1
+
+
+# ---------------------------------------------------------------------------
+# Quartic solver — the analogue of the reference's Quartic wrapper over the
+# roots crate (src/math.rs:126-133), used by the torus (primitive/torus.rs).
+# Ferrari's method via the resolvent cubic, followed by Newton polish so the
+# roots are usable in float32 on TPU.
+# ---------------------------------------------------------------------------
+
+def _solve_cubic_largest(a2, a1, a0):
+    """Largest real root of z^3 + a2 z^2 + a1 z + a0 (trigonometric form)."""
+    p = a1 - a2 * a2 / 3.0
+    q = 2.0 * a2 ** 3 / 27.0 - a2 * a1 / 3.0 + a0
+    # Discriminant split: three real roots (trig) vs one (Cardano).
+    half_q = q / 2.0
+    third_p = p / 3.0
+    disc = half_q * half_q + third_p ** 3
+    # Trig branch (disc <= 0): z = 2 sqrt(-p/3) cos(phi/3) - a2/3.
+    safe_tp = jnp.minimum(third_p, -1e-30)
+    m = 2.0 * jnp.sqrt(-safe_tp)
+    cos_arg = jnp.clip(3.0 * q / (p * jnp.where(p == 0.0, 1.0, m)), -1.0, 1.0)
+    phi = jnp.arccos(cos_arg)
+    z_trig = m * jnp.cos(phi / 3.0) - a2 / 3.0
+    # Cardano branch (disc > 0): one real root.
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    u = jnp.cbrt(-half_q + sq)
+    v = jnp.cbrt(-half_q - sq)
+    z_card = u + v - a2 / 3.0
+    return jnp.where(disc > 0.0, z_card, z_trig)
+
+
+def quartic_roots(A, B, C, D, E):
+    """Real roots of A t^4 + B t^3 + C t^2 + D t + E (A != 0).
+
+    Returns (roots[..., 4], valid[..., 4]); invalid entries are +inf.
+    Roots are Newton-polished (3 iterations) for float32 robustness.
+    """
+    safe_A = jnp.where(A == 0.0, 1.0, A)
+    b = B / safe_A
+    c = C / safe_A
+    d = D / safe_A
+    e = E / safe_A
+    # Depressed quartic u^4 + p u^2 + q u + r with t = u - b/4.
+    b2 = b * b
+    p = c - 3.0 * b2 / 8.0
+    q = d - b * c / 2.0 + b2 * b / 8.0
+    r = e - b * d / 4.0 + b2 * c / 16.0 - 3.0 * b2 * b2 / 256.0
+
+    # Resolvent cubic z^3 + 2p z^2 + (p^2 - 4r) z - q^2 = 0; any root z > 0
+    # factors the quartic into two quadratics.
+    a2c = 2.0 * p
+    a1c = p * p - 4.0 * r
+    a0c = -q * q
+    z = _solve_cubic_largest(a2c, a1c, a0c)
+    # Newton-polish z: Cardano cancels badly near q ~ 0 (symmetric quartics),
+    # leaving z off by ~1e-3 and pushing Ferrari's factors complex.
+    for _ in range(2):
+        fz = ((z + a2c) * z + a1c) * z + a0c
+        fpz = (3.0 * z + 2.0 * a2c) * z + a1c
+        z = z - fz / jnp.where(fpz == 0.0, 1.0, fpz)
+    z = jnp.maximum(z, 0.0)
+    s = jnp.sqrt(z)
+    # Biquadratic fallback when q ~ 0 (scale-relative: z ~ t^2 sized by |p|).
+    biquad = z < 1e-6 * (1.0 + jnp.abs(p))
+    s_safe = jnp.where(biquad, 1.0, s)
+
+    # u^2 + s u + (p + z)/2 - q/(2s) = 0  and  u^2 - s u + (p + z)/2 + q/(2s)
+    half = (p + z) / 2.0
+    shift = q / (2.0 * s_safe)
+    c1 = half - shift
+    c2 = half + shift
+
+    def quad(bq, cq):
+        disc = bq * bq - 4.0 * cq
+        ok = disc >= 0.0
+        sqd = jnp.sqrt(jnp.maximum(disc, 0.0))
+        return (-bq - sqd) / 2.0, (-bq + sqd) / 2.0, ok
+
+    u1, u2, ok12 = quad(s, c1)
+    u3, u4, ok34 = quad(-s, c2)
+
+    # Biquadratic: y^2 + p y + r = 0; u = +-sqrt(y).
+    ydisc = p * p - 4.0 * r
+    ysq = jnp.sqrt(jnp.maximum(ydisc, 0.0))
+    y1 = (-p - ysq) / 2.0
+    y2 = (-p + ysq) / 2.0
+    okb = ydisc >= 0.0
+    bu1 = -jnp.sqrt(jnp.maximum(y1, 0.0))
+    bu2 = jnp.sqrt(jnp.maximum(y1, 0.0))
+    bu3 = -jnp.sqrt(jnp.maximum(y2, 0.0))
+    bu4 = jnp.sqrt(jnp.maximum(y2, 0.0))
+    okb1 = okb & (y1 >= 0.0)
+    okb2 = okb & (y2 >= 0.0)
+
+    u_all = jnp.stack([
+        jnp.where(biquad, bu1, u1),
+        jnp.where(biquad, bu2, u2),
+        jnp.where(biquad, bu3, u3),
+        jnp.where(biquad, bu4, u4),
+    ], axis=-1)
+    ok_all = jnp.stack([
+        jnp.where(biquad, okb1, ok12),
+        jnp.where(biquad, okb1, ok12),
+        jnp.where(biquad, okb2, ok34),
+        jnp.where(biquad, okb2, ok34),
+    ], axis=-1)
+
+    t = u_all - (b / 4.0)[..., None]
+
+    # Newton polish on the original quartic (Horner), 3 iterations.
+    for _ in range(3):
+        f = (((A[..., None] * t + B[..., None]) * t + C[..., None]) * t
+             + D[..., None]) * t + E[..., None]
+        fp = ((4.0 * A[..., None] * t + 3.0 * B[..., None]) * t
+              + 2.0 * C[..., None]) * t + D[..., None]
+        t = t - f / jnp.where(fp == 0.0, 1.0, fp)
+
+    valid = ok_all & (A[..., None] != 0.0)
+    return jnp.where(valid, t, jnp.inf), valid
+
+
+def quartic_smallest_root_in_range(A, B, C, D, E, t_min, t_max):
+    """Smallest real quartic root with t_min <= t < t_max
+    (Solutions::find_in_range semantics, src/math.rs:94-96)."""
+    roots, valid = quartic_roots(A, B, C, D, E)
+    ok = valid & (roots >= t_min[..., None]) & (roots < t_max[..., None])
+    t = jnp.min(jnp.where(ok, roots, jnp.inf), axis=-1)
+    return t, jnp.any(ok, axis=-1)

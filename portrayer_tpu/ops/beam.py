@@ -210,11 +210,13 @@ def intersect_scene_beam(
         def pick_tables(ids, valid, start=start, cand_fn=cand_fn):
             gids = ids + start                                       # [W,C]
             inv = st.inv[gids]
+            prm = st.prim_params[gids][:, None]                      # [W,1,C,2]
             rot = inv[:, None, :, :, :3]
             lo = jnp.sum(rot * o_w[:, :, None, None, :], -1) + inv[:, None, :, :, 3]
             ld = jnp.sum(rot * d_w[:, :, None, None, :], -1)
             is_src = gids[:, None, :] == src_w[:, :, None]
-            t = cand_fn(lo, ld, eff_t_min(ld, is_src), tmax_w[:, :, None], eps)
+            t = cand_fn(lo, ld, eff_t_min(ld, is_src), tmax_w[:, :, None], eps,
+                        params=prm)
             t = jnp.where(valid[:, None, :] & act_w[:, :, None], t, INF)
             return t, gids, None
 

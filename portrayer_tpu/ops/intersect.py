@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from .. import math3d as m3
 from ..config import RenderConfig
 from ..scene.flatten import (
-    SceneTables, SPHERE, PLANE, CUBE, CYLINDER, CONE, MESH,
-    node_record, tri_record,
+    SceneTables, SPHERE, PLANE, CUBE, CYLINDER, CONE, MESH, TORUS,
+    node_record, tri_record, REC_PARAMS,
 )
 
 INF = jnp.inf
@@ -71,7 +71,7 @@ def _in_range(t, t_min, t_max):
 # [...].  Return t [...] with inf where invalid.
 # ---------------------------------------------------------------------------
 
-def sphere_candidate(o, d, t_min, t_max, eps):
+def sphere_candidate(o, d, t_min, t_max, eps, params=None):
     a = m3.dot(d, d)
     b = 2.0 * m3.dot(o, d)
     c = m3.dot(o, o) - 1.0
@@ -79,7 +79,7 @@ def sphere_candidate(o, d, t_min, t_max, eps):
     return jnp.where(ok, t, INF)
 
 
-def plane_candidate(o, d, t_min, t_max, eps):
+def plane_candidate(o, d, t_min, t_max, eps, params=None):
     t = _guarded_div(-o[..., 1], d[..., 1])
     p_x = o[..., 0] + t * d[..., 0]
     p_z = o[..., 2] + t * d[..., 2]
@@ -118,7 +118,7 @@ def _cube_face_fold(o, d, t_min, t_max, eps):
     return best_t, best_face
 
 
-def cube_candidate(o, d, t_min, t_max, eps):
+def cube_candidate(o, d, t_min, t_max, eps, params=None):
     t, _ = _cube_face_fold(o, d, t_min, t_max, eps)
     return t
 
@@ -144,7 +144,7 @@ def _cyl_parts(o, d, t_min, t_max):
     return t_body, cap(0.5), cap(-0.5)
 
 
-def cylinder_candidate(o, d, t_min, t_max, eps):
+def cylinder_candidate(o, d, t_min, t_max, eps, params=None):
     t_body, t_top, t_bot = _cyl_parts(o, d, t_min, t_max)
     # fold with strictly-smaller wins (cylinder.rs:119-154)
     t = t_body
@@ -176,11 +176,38 @@ def _cone_parts(o, d, t_min, t_max):
     return t_body, t_cap
 
 
-def cone_candidate(o, d, t_min, t_max, eps):
+def cone_candidate(o, d, t_min, t_max, eps, params=None):
     t_body, t_cap = _cone_parts(o, d, t_min, t_max)
     t = t_body
     t = jnp.where(t_cap < t, t_cap, t)
     return t
+
+
+def torus_coeffs(o, d, c_r, a_r):
+    """Quartic coefficients for the torus (primitive/torus.rs:56-110):
+    hole along y, center radius c_r, tube radius a_r."""
+    dd = m3.dot(d, d)
+    pp = m3.dot(o, o)
+    dp = m3.dot(d, o)
+    a2 = a_r * a_r
+    c2 = c_r * c_r
+    k = pp - (a2 + c2)
+    A = dd * dd
+    B = 4.0 * dd * dp
+    C = 2.0 * dd * k + 4.0 * dp * dp + 4.0 * c2 * d[..., 1] * d[..., 1]
+    D = 4.0 * k * dp + 8.0 * c2 * o[..., 1] * d[..., 1]
+    E = k * k - 4.0 * c2 * (a2 - o[..., 1] * o[..., 1])
+    return A, B, C, D, E
+
+
+def torus_candidate(o, d, t_min, t_max, eps, params=None):
+    c_r = params[..., 0]
+    a_r = params[..., 1]
+    A, B, C, D, E = torus_coeffs(o, d, c_r, a_r)
+    t_min = jnp.broadcast_to(t_min, A.shape)
+    t_max = jnp.broadcast_to(t_max, A.shape)
+    t, ok = m3.quartic_smallest_root_in_range(A, B, C, D, E, t_min, t_max)
+    return jnp.where(ok, t, INF)
 
 
 _ANALYTIC_CANDIDATES = {
@@ -189,6 +216,7 @@ _ANALYTIC_CANDIDATES = {
     CUBE: cube_candidate,
     CYLINDER: cylinder_candidate,
     CONE: cone_candidate,
+    TORUS: torus_candidate,
 }
 
 
@@ -323,16 +351,19 @@ def intersect_scene(
         cand_fn = _ANALYTIC_CANDIDATES[kind]
         idx = jnp.arange(start, start + count, dtype=jnp.int32)
         inv = st.inv[start:start + count]
+        prm = st.prim_params[start:start + count]
         chunk = min(cfg.node_chunk, count)
         idx_c = _pad_reshape(idx, chunk, fill=-1)
         inv_c = _pad_reshape(inv, chunk)
+        prm_c = _pad_reshape(prm, chunk)
 
         def body(carry, xs, cand_fn=cand_fn):
             bt, bn = carry
-            ids, invs = xs
+            ids, invs, prms = xs
             lo, ld = _local_rays(invs, o, d)
             is_src = (ids[None, :] == src_node[:, None]) if use_src else False
-            t = cand_fn(lo, ld, eff_t_min(ids, ld, is_src), t_max[:, None], eps)
+            t = cand_fn(lo, ld, eff_t_min(ids, ld, is_src), t_max[:, None], eps,
+                        params=prms[None])
             t = jnp.where(ids[None, :] >= 0, t, INF)
             j = jnp.argmin(t, axis=1)
             tj = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
@@ -342,7 +373,7 @@ def intersect_scene(
             return (bt, bn), None
 
         (best_t, best_node), _ = jax.lax.scan(
-            body, (best_t, best_node), (idx_c, inv_c)
+            body, (best_t, best_node), (idx_c, inv_c, prm_c)
         )
 
     # --- mesh triangle pairs ---
@@ -534,6 +565,22 @@ def _cone_detail(o, d, t_min, t_max, p, dtype):
     return n, jnp.zeros((R, 2), dtype), zeros, jnp.broadcast_to(jnp.eye(3, dtype=dtype), (R, 3, 3)), zeros
 
 
+def _torus_detail(p, params, dtype):
+    """Torus normal: hit point minus nearest tube-center point — the
+    construction sketched (but left unimplemented) at torus.rs:112-125.
+    No uv / normal-map transform (torus.rs:126-130: tex_coord None)."""
+    c_r = params[..., 0]
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    rxz = jnp.sqrt(x * x + z * z)
+    scale = c_r / jnp.maximum(rxz, 1e-30)
+    tube_center = jnp.stack([x * scale, jnp.zeros_like(y), z * scale], axis=-1)
+    n = p - tube_center
+    R = p.shape[0]
+    zeros = jnp.zeros((R,), bool)
+    return (n, jnp.zeros((R, 2), dtype), zeros,
+            jnp.broadcast_to(jnp.eye(3, dtype=dtype), (R, 3, 3)), zeros)
+
+
 def _mesh_detail(lo, ld, tri_ix, st: SceneTables, t_min, t_max, dtype):
     """Detail for mesh hits: recompute barycentrics on the winning triangle.
 
@@ -621,6 +668,8 @@ def hit_detail(o, d, hit: Hit, st: SceneTables, cfg: RenderConfig, t_min) -> Hit
             parts = _cone_detail(lo, ld, t_min, t_max, p_local, dtype)
         elif kind == MESH:
             parts = _mesh_detail(lo, ld, jnp.maximum(hit.tri, 0), st, t_min, t_max, dtype)
+        elif kind == TORUS:
+            parts = _torus_detail(p_local, rec[:, REC_PARAMS], dtype)
         mask = ray_kind == kind
         n_k, uv_k, huv_k, nmt_k, hnmt_k = parts
         normal = jnp.where(mask[:, None], n_k, normal)

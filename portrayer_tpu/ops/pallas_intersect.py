@@ -63,6 +63,25 @@ def _gd(n, d, fill=INF):
     return jnp.where(ok, n / jnp.where(ok, d, 1.0), fill)
 
 
+def _acos(x):
+    """arccos via Abramowitz-Stegun 4.4.45 (Mosaic has no acos lowering);
+    |err| < 2e-7 on [-1,1], cleaned up by the quartic's Newton polish."""
+    ax = jnp.clip(jnp.abs(x), 0.0, 1.0)
+    p = jnp.float32(-0.0012624911)
+    for c in (0.0066700901, -0.0170881256, 0.0308918810, -0.0501743046,
+              0.0889789874, -0.2145988016, 1.5707963050):
+        p = p * ax + c
+    r = p * jnp.sqrt(1.0 - ax)
+    return jnp.where(x < 0.0, jnp.pi - r, r)
+
+
+def _cbrt(x):
+    """Signed cube root via exp/log (Mosaic has no cbrt lowering)."""
+    ax = jnp.maximum(jnp.abs(x), 1e-30)
+    r = jnp.exp(jnp.log(ax) / 3.0)
+    return jnp.where(x == 0.0, 0.0, jnp.sign(x) * r)
+
+
 def _smallest_root(a, b, c, t_min, t_max):
     """Smallest quadratic root in [t_min, t_max) — math3d.smallest_root_in_range."""
     disc = b * b - 4.0 * a * c
@@ -170,6 +189,110 @@ def _branches(t_max, eps):
         t_cap = jnp.where(okc, t_cap, INF)
         return jnp.where(t_cap < t_body, t_cap, t_body)
 
+    def torus(lox, loy, loz, ldx, ldy, ldz, t_min, ax, ay, *_):
+        # Quartic torus (primitive/torus.rs:56-110); center radius in packed
+        # row 12 (ax), tube radius in row 13 (ay).  Ferrari + Newton polish,
+        # written without stacked axes for Mosaic (see math3d.quartic_roots
+        # for the reference implementation).
+        c_r, a_r = ax, ay
+        dd = ldx * ldx + ldy * ldy + ldz * ldz
+        pp = lox * lox + loy * loy + loz * loz
+        dp = ldx * lox + ldy * loy + ldz * loz
+        a2 = a_r * a_r
+        c2 = c_r * c_r
+        k = pp - (a2 + c2)
+        A = dd * dd
+        B = 4.0 * dd * dp
+        C4 = 2.0 * dd * k + 4.0 * dp * dp + 4.0 * c2 * ldy * ldy
+        D = 4.0 * k * dp + 8.0 * c2 * loy * ldy
+        E = k * k - 4.0 * c2 * (a2 - loy * loy)
+
+        safe_A = jnp.where(A == 0.0, 1.0, A)
+        b = B / safe_A
+        c = C4 / safe_A
+        d = D / safe_A
+        e = E / safe_A
+        b2 = b * b
+        p = c - 3.0 * b2 / 8.0
+        q = d - b * c / 2.0 + b2 * b / 8.0
+        r = e - b * d / 4.0 + b2 * c / 16.0 - 3.0 * b2 * b2 / 256.0
+
+        # Resolvent cubic z^3 + 2p z^2 + (p^2-4r) z - q^2: largest real root.
+        a2c = 2.0 * p
+        a1c = p * p - 4.0 * r
+        a0c = -q * q
+        pc = a1c - a2c * a2c / 3.0
+        qc = 2.0 * a2c ** 3 / 27.0 - a2c * a1c / 3.0 + a0c
+        half_q = qc / 2.0
+        third_p = pc / 3.0
+        disc = half_q * half_q + third_p ** 3
+        safe_tp = jnp.minimum(third_p, -1e-30)
+        mm = 2.0 * jnp.sqrt(-safe_tp)
+        cos_arg = jnp.clip(
+            3.0 * qc / (pc * jnp.where(pc == 0.0, 1.0, mm)), -1.0, 1.0
+        )
+        phi = _acos(cos_arg)
+        z_trig = mm * jnp.cos(phi / 3.0) - a2c / 3.0
+        sqd = jnp.sqrt(jnp.maximum(disc, 0.0))
+        u_c = _cbrt(-half_q + sqd)
+        v_c = _cbrt(-half_q - sqd)
+        z_card = u_c + v_c - a2c / 3.0
+        z = jnp.where(disc > 0.0, z_card, z_trig)
+        for _ in range(2):  # polish the resolvent (Cardano cancellation)
+            fz = ((z + a2c) * z + a1c) * z + a0c
+            fpz = (3.0 * z + 2.0 * a2c) * z + a1c
+            z = z - fz / jnp.where(fpz == 0.0, 1.0, fpz)
+        z = jnp.maximum(z, 0.0)
+
+        s = jnp.sqrt(z)
+        biquad = z < 1e-6 * (1.0 + jnp.abs(p))
+        s_safe = jnp.where(biquad, 1.0, s)
+        half = (p + z) / 2.0
+        shift = q / (2.0 * s_safe)
+        c1 = half - shift
+        c2q = half + shift
+
+        d1 = s * s - 4.0 * c1
+        ok12 = d1 >= 0.0
+        sq1 = jnp.sqrt(jnp.maximum(d1, 0.0))
+        u1 = (-s - sq1) / 2.0
+        u2 = (-s + sq1) / 2.0
+        d2 = s * s - 4.0 * c2q
+        ok34 = d2 >= 0.0
+        sq2 = jnp.sqrt(jnp.maximum(d2, 0.0))
+        u3 = (s - sq2) / 2.0
+        u4 = (s + sq2) / 2.0
+
+        ydisc = p * p - 4.0 * r
+        okb = ydisc >= 0.0
+        ysq = jnp.sqrt(jnp.maximum(ydisc, 0.0))
+        y1 = (-p - ysq) / 2.0
+        y2 = (-p + ysq) / 2.0
+        okb1 = okb & (y1 >= 0.0)
+        okb2 = okb & (y2 >= 0.0)
+        r1s = jnp.sqrt(jnp.maximum(y1, 0.0))
+        r2s = jnp.sqrt(jnp.maximum(y2, 0.0))
+
+        # NB: bool selects lower as 1-bit select_n, which Mosaic rejects
+        # ("unsupported target bitwidth for truncation") — use logic ops.
+        sel_ok = lambda okb, okf: (biquad & okb) | (~biquad & okf)
+        best = jnp.full(lox.shape, INF, lox.dtype)
+        for u, ok in (
+            (jnp.where(biquad, -r1s, u1), sel_ok(okb1, ok12)),
+            (jnp.where(biquad, r1s, u2), sel_ok(okb1, ok12)),
+            (jnp.where(biquad, -r2s, u3), sel_ok(okb2, ok34)),
+            (jnp.where(biquad, r2s, u4), sel_ok(okb2, ok34)),
+        ):
+            t = u - b / 4.0
+            for _ in range(3):  # Newton polish (float32 robustness)
+                f = (((A * t + B) * t + C4) * t + D) * t + E
+                fp = ((4.0 * A * t + 3.0 * B) * t + 2.0 * C4) * t + D
+                t = t - f / jnp.where(fp == 0.0, 1.0, fp)
+            valid = ok & in_range(t, t_min)
+            t = jnp.where(valid, t, INF)
+            best = jnp.where(t < best, t, best)
+        return best
+
     def triangle(lox, loy, loz, ldx, ldy, ldz, t_min,
                  ax, ay, az, bx, by, bz, cx, cy, cz):
         # Shirley/Cramer (triangle.rs:39-80), componentwise.
@@ -194,7 +317,7 @@ def _branches(t_max, eps):
         )
         return jnp.where(ok, t, INF)
 
-    return (sphere, plane, cube, cylinder, cone, triangle)
+    return (sphere, plane, cube, cylinder, cone, triangle, torus)
 
 
 # ---------------------------------------------------------------------------

@@ -1,4 +1,4 @@
-from .node import Scene, SceneNode, Geometry, Sphere, Cube, Plane, Cylinder, Cone
+from .node import Scene, SceneNode, Geometry, Sphere, Cube, Plane, Cylinder, Cone, Torus
 from .material import Material
 from .light import Light, Falloff, Parallelogram
 from .mesh import Mesh, KDMesh, MeshData, Shading, Triangle

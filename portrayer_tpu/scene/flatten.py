@@ -22,13 +22,13 @@ import jax.numpy as jnp
 from flax import struct
 
 from .. import math3d as m3
-from .node import Scene, SceneNode, Sphere, Plane, Cube, Cylinder, Cone
+from .node import Scene, SceneNode, Sphere, Plane, Cube, Cylinder, Cone, Torus
 from .mesh import Mesh, Triangle, Shading
 from .texture import Texture, ImageTexture, NormalMap
 
 # Primitive kind codes (order = group order in the tables).
-SPHERE, PLANE, CUBE, CYLINDER, CONE, MESH = range(6)
-KIND_NAMES = ("sphere", "plane", "cube", "cylinder", "cone", "mesh")
+SPHERE, PLANE, CUBE, CYLINDER, CONE, MESH, TORUS = range(7)
+KIND_NAMES = ("sphere", "plane", "cube", "cylinder", "cone", "mesh", "torus")
 
 # Packed-table chunk width: primitives are laid out in lanes of the VPU
 # (8x128); one chunk = one 128-lane sweep step in the Pallas kernel.
@@ -94,7 +94,7 @@ def _morton_order(amin: np.ndarray, amax: np.ndarray) -> np.ndarray:
 
 def _build_packed(
     groups, inv, aabb_min, aabb_max,
-    pair_node, pair_tri, pair_amin, pair_amax, tri_abc,
+    pair_node, pair_tri, pair_amin, pair_amax, tri_abc, prim_params,
 ):
     """Assemble PackedPrims (numpy) from the flat node/pair tables."""
     f_cols: List[np.ndarray] = []   # per-kind [k,21]
@@ -138,8 +138,10 @@ def _build_packed(
         else:
             idx = np.arange(start, start + count)
             order = idx[_morton_order(aabb_min[idx], aabb_max[idx])]
+            extra = np.zeros((count, 9))
+            extra[:, 0:2] = prim_params[order]  # torus radii in rows 12..13
             f = np.concatenate(
-                [inv[order].reshape(-1, 12), np.zeros((count, 9))], axis=1
+                [inv[order].reshape(-1, 12), extra], axis=1
             )
             ids = np.stack([order, np.full(count, -1)], axis=1)
             add_group(kind, f, ids, aabb_min[order], aabb_max[order])
@@ -171,6 +173,7 @@ class SceneTables:
     inv: jnp.ndarray          # [N,3,4] world->local
     normal_mat: jnp.ndarray   # [N,3,3]
     material_id: jnp.ndarray  # [N] int32
+    prim_params: jnp.ndarray  # [N,2] per-primitive params (torus radii)
     mesh_range: jnp.ndarray   # [N,2] int32 (tri_start, tri_count); zeros if not mesh
     aabb_min: jnp.ndarray     # [N,3] world-space AABB (8-corner transform,
     aabb_max: jnp.ndarray     # [N,3]  src/bounding_box.rs:123-148)
@@ -253,6 +256,7 @@ class _FlatNode:
     tri_range: Tuple[int, int] = (0, 0)
     local_min: np.ndarray = None
     local_max: np.ndarray = None
+    params: Tuple[float, float] = (0.0, 0.0)  # torus (center_r, tube_r)
 
 
 # Local-space bounds per primitive kind (src/primitive/*.rs Bounds impls).
@@ -353,6 +357,15 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
                 flat.append(_FlatNode(CYLINDER, total, mat))
             elif isinstance(prim, Cone):
                 flat.append(_FlatNode(CONE, total, mat))
+            elif isinstance(prim, Torus):
+                cr, tr = prim.center_radius, prim.tube_radius
+                r_out = cr + tr
+                flat.append(_FlatNode(
+                    TORUS, total, mat,
+                    local_min=np.array([-r_out, -tr, -r_out]),
+                    local_max=np.array([r_out, tr, r_out]),
+                    params=(cr, tr),
+                ))
             elif isinstance(prim, Mesh):
                 rng = mesh_tri_range(prim)
                 flat.append(
@@ -379,7 +392,7 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
     flat.sort(key=lambda fn_: fn_.kind)
     groups = []
     start = 0
-    for kind in range(6):
+    for kind in range(7):
         count = sum(1 for f in flat if f.kind == kind)
         if count:
             groups.append((kind, start, count))
@@ -476,16 +489,17 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
         material_id = np.asarray(
             [mat_index[id(f.material)] for f in flat], np.int32
         )
+        prim_params = np.asarray([f.params for f in flat], np.float64)
         mesh_range = np.asarray(
             [f.tri_range if f.kind == MESH else (0, 0) for f in flat],
             np.int32,
         )
         lmin = np.stack([
-            f.local_min if f.kind == MESH else _LOCAL_BOUNDS[f.kind][0]
+            f.local_min if f.kind in (MESH, TORUS) else _LOCAL_BOUNDS[f.kind][0]
             for f in flat
         ])
         lmax = np.stack([
-            f.local_max if f.kind == MESH else _LOCAL_BOUNDS[f.kind][1]
+            f.local_max if f.kind in (MESH, TORUS) else _LOCAL_BOUNDS[f.kind][1]
             for f in flat
         ])
         # World AABB via all 8 transformed corners (bounding_box.rs:123-148).
@@ -503,6 +517,7 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
         inv = np.tile(np.eye(3, 4), (N, 1, 1))
         normal_mat = np.tile(np.eye(3), (N, 1, 1))
         material_id = np.zeros(N, np.int32)
+        prim_params = np.zeros((N, 2))
         mesh_range = np.zeros((N, 2), np.int32)
         aabb_min = np.zeros((N, 3))
         aabb_max = np.zeros((N, 3))
@@ -572,7 +587,7 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
     )
     pk_f32, pk_ids, pk_kind, pk_cmin, pk_cmax, pk_nc = _build_packed(
         groups, inv, aabb_min, aabb_max,
-        pair_node, pair_tri, pair_amin, pair_amax, tri_abc,
+        pair_node, pair_tri, pair_amin, pair_amax, tri_abc, prim_params,
     )
 
     f = lambda x: jnp.asarray(x, dtype=dtype)
@@ -586,7 +601,8 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
 
     return SceneTables(
         trans=f(trans), inv=f(inv), normal_mat=f(normal_mat),
-        material_id=i32(material_id), mesh_range=i32(mesh_range),
+        material_id=i32(material_id), prim_params=f(prim_params),
+        mesh_range=i32(mesh_range),
         aabb_min=f(aabb_min), aabb_max=f(aabb_max),
         tri_a=f(tri["tri_a"]), tri_b=f(tri["tri_b"]), tri_c=f(tri["tri_c"]),
         tri_na=f(tri["tri_na"]), tri_nb=f(tri["tri_nb"]), tri_nc=f(tri["tri_nc"]),
@@ -641,7 +657,7 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
 #   20 glossy_side_length  21 refraction_index
 #   22 tex_id  23 normal_map_id  24 material_id   (float-encoded ints)
 #   25..30 uv_trans rows 0..1 (m00 m01 m02 m10 m11 m12)
-#   31 primitive kind
+#   31 primitive kind   32..33 primitive params (torus radii)
 REC_INV = slice(0, 12)
 REC_DIFFUSE = slice(12, 15)
 REC_SPECULAR = slice(15, 18)
@@ -654,10 +670,11 @@ REC_NM_ID = 23
 REC_MATERIAL = 24
 REC_UV_TRANS = slice(25, 31)
 REC_KIND = 31
+REC_PARAMS = slice(32, 34)
 
 
 def node_record(st: "SceneTables") -> jnp.ndarray:
-    """[N,32] fused per-node shading record (differentiable)."""
+    """[N,34] fused per-node shading record (differentiable)."""
     N = st.n_nodes
     dt = st.inv.dtype
     mid = st.material_id
@@ -679,6 +696,7 @@ def node_record(st: "SceneTables") -> jnp.ndarray:
             col(mid),
             st.mat_uv_trans[mid][:, :2, :].reshape(N, 6),
             jnp.asarray(kinds[:, None], dt),
+            st.prim_params,
         ],
         axis=1,
     )

@@ -50,7 +50,22 @@ class Cone(_MarkerPrimitive):
     """r=0.5, h=1, apex up (src/primitive/cone.rs)."""
 
 
-Primitive = Union[Sphere, Cube, Plane, Cylinder, Cone, Mesh, Triangle]
+class Torus:
+    """Donut centered at origin, y-axis through the hole
+    (src/primitive/torus.rs:12-18 — present in the reference but left
+    unregistered with `normal: unimplemented!()`; completed here).
+
+    center_radius: hole center to tube center; tube_radius: tube radius."""
+
+    def __init__(self, center_radius: float = 1.0, tube_radius: float = 0.25):
+        self.center_radius = float(center_radius)
+        self.tube_radius = float(tube_radius)
+
+    def __repr__(self):
+        return f"Torus({self.center_radius}, {self.tube_radius})"
+
+
+Primitive = Union[Sphere, Cube, Plane, Cylinder, Cone, Torus, Mesh, Triangle]
 
 
 class Geometry:

@@ -50,6 +50,9 @@ _REGISTRY = {
     "graphics-temple": ("scenes.graphics_temple", None),
     "graphics-castle": ("scenes.graphics_castle", None),
     "robot-alarm-clock": ("scenes.robot_alarm_clock", "10_robot-alarm-clock.png"),
+    # Extras beyond the reference's examples:
+    # the torus exists in the reference only as unregistered dead code.
+    "torus-showcase": ("scenes.torus_showcase", None),
 }
 
 
