@@ -123,7 +123,7 @@ def _compact(child: _Queue, capacity: int, acc, bg):
 
 def trace(
     key, o0, d0, pix0, bg, n_pixels: int, st: SceneTables, cfg: RenderConfig,
-    w0=None, spp_contiguous: int = 0,
+    w0=None, spp_contiguous: int = 0, with_stats: bool = False,
 ):
     """Trace primary rays through the scene.
 
@@ -132,7 +132,9 @@ def trace(
     spp_contiguous > 0 asserts pix0 == repeat(arange(P), spp) so the primary
     round can use reshape-sums instead of scatter-adds.
     Returns acc [P,3]: the sum of per-sample radiances scattered to their
-    pixels (caller divides by spp).
+    pixels (caller divides by spp).  with_stats=True additionally returns
+    per-bounce live-ray counts [max_depth+1] (int32) — the wavefront
+    analogue of the reference's progress introspection (SURVEY §5).
     """
     R0 = o0.shape[0]
     dtype = o0.dtype
@@ -154,9 +156,12 @@ def trace(
     max_depth = cfg.max_depth if st.any_reflective else 0
 
     # Round 0 (primary rays).
+    n_live0 = jnp.sum(q.w > 0.0).astype(jnp.int32)
     acc, child = _round(q, acc, bg, st, cfg, jax.random.fold_in(key, 0),
                         is_last=(max_depth == 0), spp_c=spp_contiguous)
     if max_depth == 0:
+        if with_stats:
+            return acc, n_live0[None]
         return acc
 
     q, acc = _compact(child, capacity, acc, bg)
@@ -164,6 +169,7 @@ def trace(
     # Rounds 1..max_depth with early-exit when the queue dies out.
     def body(carry, ridx):
         q, acc = carry
+        n_live = jnp.sum(q.w > 0.0).astype(jnp.int32)
 
         def live(args):
             q, acc = args
@@ -177,10 +183,12 @@ def trace(
         def dead(args):
             return args
 
-        q, acc = jax.lax.cond(jnp.any(q.w > 0.0), live, dead, (q, acc))
-        return (q, acc), None
+        q, acc = jax.lax.cond(n_live > 0, live, dead, (q, acc))
+        return (q, acc), n_live
 
-    (q, acc), _ = jax.lax.scan(
+    (q, acc), n_lives = jax.lax.scan(
         body, (q, acc), jnp.arange(1, max_depth + 1)
     )
+    if with_stats:
+        return acc, jnp.concatenate([n_live0[None], n_lives])
     return acc

@@ -43,7 +43,7 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = RAY_AXIS) -> Mes
 
 def trace_sharded(
     mesh: Mesh, key, o, d, pix, bg, n_pixels: int,
-    st: SceneTables, cfg: RenderConfig,
+    st: SceneTables, cfg: RenderConfig, w0=None,
 ):
     """Trace rays [R,3] sharded over the mesh's ray axis.
 
@@ -51,16 +51,18 @@ def trace_sharded(
     framebuffer accumulation [n_pixels, 3] (sum over all rays)."""
     axis = mesh.axis_names[0]
     st_specs = jax.tree_util.tree_map(lambda _: P(), st)
+    if w0 is None:
+        w0 = jnp.ones((o.shape[0],), o.dtype)
 
-    def fwd(key, o, d, pix, bg, st):
+    def fwd(key, o, d, pix, bg, w0, st):
         # Decorrelate per-shard sampling.
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        acc = trace(key, o, d, pix, bg, n_pixels, st, cfg)
+        acc = trace(key, o, d, pix, bg, n_pixels, st, cfg, w0=w0)
         return jax.lax.psum(acc, axis)
 
     kwargs = dict(
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(), st_specs),
+        in_specs=(P(), P(axis), P(axis), P(axis), P(), P(axis), st_specs),
         out_specs=P(),
     )
     # Disable the replication/varying-axis checker: the wavefront loop's
@@ -70,7 +72,7 @@ def trace_sharded(
         sharded = shard_map(fwd, check_vma=False, **kwargs)
     except TypeError:
         sharded = shard_map(fwd, check_rep=False, **kwargs)
-    return sharded(key, o, d, pix, bg, st)
+    return sharded(key, o, d, pix, bg, w0, st)
 
 
 def split_params(st: SceneTables) -> Tuple[dict, SceneTables]:
@@ -104,3 +106,55 @@ def train_step(
         return jnp.mean((img - target) ** 2)
 
     return jax.value_and_grad(loss_fn)(params)
+
+
+def render_tiles_sharded(
+    mesh: Mesh, st: SceneTables, camera, size, background,
+    cfg: RenderConfig, key=None,
+):
+    """Render a whole frame with rays data-parallel over the device mesh.
+
+    The multi-chip form of the reference's rayon pixel parallelism
+    (src/render.rs:127-150): every chip traces an equal shard of the
+    (pixel x sample) ray grid against the replicated scene tables; one
+    psum combines the per-chip framebuffers.  Returns the linear
+    mean-radiance image [H,W,3] (numpy).
+    """
+    import numpy as np
+    from ..camera import Camera
+
+    width, height = size
+    n_dev = mesh.devices.size
+    cam = Camera(camera, (width, height), dtype=cfg.dtype)
+    spp = cfg.resolved_samples()
+    P_ = width * height
+    R = P_ * spp
+    pad = (-R) % n_dev
+    key = jax.random.PRNGKey(cfg.seed) if key is None else key
+
+    ys, xs = np.mgrid[0:height, 0:width]
+    px = jnp.asarray(np.repeat(xs.reshape(-1), spp), cfg.dtype)
+    py = jnp.asarray(np.repeat(ys.reshape(-1), spp), cfg.dtype)
+    jitter = jax.random.uniform(jax.random.fold_in(key, 0), (R, 2), cfg.dtype)
+    o, d = cam.rays_at(px + jitter[:, 0], py + jitter[:, 1])
+    pix = jnp.asarray(np.repeat(np.arange(P_), spp), jnp.int32)
+
+    # Background at integer-pixel uv (render.rs:31-34).
+    uv_pix = jnp.asarray(
+        np.stack([xs.reshape(-1) / width, ys.reshape(-1) / height], axis=-1),
+        cfg.dtype,
+    )
+    bg = background(uv_pix).astype(cfg.dtype)
+
+    if pad:  # padding rays carry zero throughput
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        pix = jnp.pad(pix, (0, pad))
+    acc = trace_sharded(
+        mesh, jax.random.fold_in(key, 1), o, d, pix, bg, P_, st, cfg,
+        w0=None if not pad else jnp.concatenate(
+            [jnp.ones((R,), cfg.dtype), jnp.zeros((pad,), cfg.dtype)]
+        ),
+    )
+    img = np.asarray(acc, np.float64).reshape(height, width, 3) / spp
+    return img
