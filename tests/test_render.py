@@ -81,3 +81,34 @@ def test_odd_sizes_and_spp_masking():
     img2 = render_linear(spec.scene, spec.camera, (24, 18), spec.background, cfg2)
     # different jitter draws -> sampling noise; images must agree on average
     assert np.abs(img - img2).mean() < 0.02
+
+
+def test_checked_trace_reports_clean():
+    """checkify float checks pass on a healthy scene (SURVEY §5 aux)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import scenes
+    from portrayer_tpu import flatten_scene, RenderConfig
+    from portrayer_tpu.camera import Camera
+    from portrayer_tpu.debug import checked_trace, assert_image_finite
+
+    spec = scenes.load("simple")
+    cfg = RenderConfig(samples=1, accel="flat", node_chunk=16)
+    st = flatten_scene(spec.scene, dtype=cfg.dtype)
+    cam = Camera(spec.camera, (16, 16), dtype=cfg.dtype)
+    ys, xs = np.mgrid[0:16, 0:16]
+    px = jnp.asarray(xs.reshape(-1), cfg.dtype) + 0.5
+    py = jnp.asarray(ys.reshape(-1), cfg.dtype) + 0.5
+    o, d = cam.rays_at(px, py)
+    pix = jnp.arange(256, dtype=jnp.int32)
+    bg = jnp.zeros((256, 3), cfg.dtype)
+    err, acc = checked_trace(
+        jax.random.PRNGKey(0), o, d, pix, bg, 256, st, cfg
+    )
+    err.throw()  # no float errors
+    assert_image_finite(acc)
+
+    import pytest
+    with pytest.raises(FloatingPointError):
+        assert_image_finite(np.array([[np.nan, 0.0, 0.0]]))
