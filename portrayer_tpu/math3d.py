@@ -26,15 +26,30 @@ def cross(a, b):
     return jnp.cross(a, b)
 
 
-def norm(v):
-    return jnp.sqrt(dot(v, v))
+def safe_sqrt(x, tiny=1e-30):
+    """sqrt(max(x, 0)) with a finite reverse mode at x <= 0.
+
+    sqrt'(0) = inf, and jnp.maximum's transpose *multiplies* the incoming
+    cotangent by an indicator rather than selecting, so even a zero
+    cotangent turns into 0 * inf = NaN and poisons whole parameter
+    gradients.  Clamping the argument to `tiny` keeps the derivative
+    finite; the trailing where restores the exact forward value at x <= 0.
+    """
+    return jnp.where(x > 0.0, jnp.sqrt(jnp.maximum(x, tiny)), 0.0)
+
+
+def norm(v, eps=0.0):
+    """|v|.  With eps, clamps |v|^2 to eps^2 *before* the sqrt so reverse
+    mode stays finite at v = 0 (sqrt'(0) = inf would otherwise turn a
+    masked-out lane's zero cotangent into 0 * inf = NaN)."""
+    s = dot(v, v)
+    if eps:
+        s = jnp.maximum(s, eps * eps)
+    return jnp.sqrt(s)
 
 
 def normalize(v, eps=0.0):
-    n = norm(v)
-    if eps:
-        n = jnp.maximum(n, eps)
-    return v / n[..., None]
+    return v / norm(v, eps=eps)[..., None]
 
 
 # NOTE: these small transforms deliberately use explicit elementwise
@@ -162,7 +177,7 @@ def quadratic_roots(a, b, c):
     to the linear equation; disc == 0 gives a double root.
     """
     disc = b * b - 4.0 * a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = safe_sqrt(disc)
     # Numerically stable: q = -(b + sign(b)*sq)/2; roots q/a and c/q.
     sgn = jnp.where(b >= 0.0, 1.0, -1.0)
     q = -0.5 * (b + sgn * sq)
@@ -213,7 +228,7 @@ def _solve_cubic_largest(a2, a1, a0):
     phi = jnp.arccos(cos_arg)
     z_trig = m * jnp.cos(phi / 3.0) - a2 / 3.0
     # Cardano branch (disc > 0): one real root.
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = safe_sqrt(disc)
     u = jnp.cbrt(-half_q + sq)
     v = jnp.cbrt(-half_q - sq)
     z_card = u + v - a2 / 3.0
@@ -250,7 +265,7 @@ def quartic_roots(A, B, C, D, E):
         fpz = (3.0 * z + 2.0 * a2c) * z + a1c
         z = z - fz / jnp.where(fpz == 0.0, 1.0, fpz)
     z = jnp.maximum(z, 0.0)
-    s = jnp.sqrt(z)
+    s = safe_sqrt(z)
     # Biquadratic fallback when q ~ 0 (scale-relative: z ~ t^2 sized by |p|).
     biquad = z < 1e-6 * (1.0 + jnp.abs(p))
     s_safe = jnp.where(biquad, 1.0, s)
@@ -264,7 +279,7 @@ def quartic_roots(A, B, C, D, E):
     def quad(bq, cq):
         disc = bq * bq - 4.0 * cq
         ok = disc >= 0.0
-        sqd = jnp.sqrt(jnp.maximum(disc, 0.0))
+        sqd = safe_sqrt(disc)
         return (-bq - sqd) / 2.0, (-bq + sqd) / 2.0, ok
 
     u1, u2, ok12 = quad(s, c1)
@@ -272,14 +287,14 @@ def quartic_roots(A, B, C, D, E):
 
     # Biquadratic: y^2 + p y + r = 0; u = +-sqrt(y).
     ydisc = p * p - 4.0 * r
-    ysq = jnp.sqrt(jnp.maximum(ydisc, 0.0))
+    ysq = safe_sqrt(ydisc)
     y1 = (-p - ysq) / 2.0
     y2 = (-p + ysq) / 2.0
     okb = ydisc >= 0.0
-    bu1 = -jnp.sqrt(jnp.maximum(y1, 0.0))
-    bu2 = jnp.sqrt(jnp.maximum(y1, 0.0))
-    bu3 = -jnp.sqrt(jnp.maximum(y2, 0.0))
-    bu4 = jnp.sqrt(jnp.maximum(y2, 0.0))
+    bu1 = -safe_sqrt(y1)
+    bu2 = safe_sqrt(y1)
+    bu3 = -safe_sqrt(y2)
+    bu4 = safe_sqrt(y2)
     okb1 = okb & (y1 >= 0.0)
     okb2 = okb & (y2 >= 0.0)
 

@@ -62,6 +62,15 @@ def _guarded_div(n, d, fill=INF):
     return jnp.where(ok, n / jnp.where(ok, d, 1.0), fill)
 
 
+def _finite(t):
+    """Clamp inf/nan hit parameters to 0 before they enter point arithmetic
+    (p = o + t*d).  The validity tests already reject out-of-range t, so the
+    forward result is unchanged — but without this, reverse mode computes
+    g_d = g_p * t = 0 * inf = NaN on miss lanes, and one NaN poisons the
+    whole parameter gradient through the gather-backward scatter-add."""
+    return jnp.where(jnp.isfinite(t), t, 0.0)
+
+
 def _in_range(t, t_min, t_max):
     return (t >= t_min) & (t < t_max)
 
@@ -81,8 +90,9 @@ def sphere_candidate(o, d, t_min, t_max, eps, params=None):
 
 def plane_candidate(o, d, t_min, t_max, eps, params=None):
     t = _guarded_div(-o[..., 1], d[..., 1])
-    p_x = o[..., 0] + t * d[..., 0]
-    p_z = o[..., 2] + t * d[..., 2]
+    tc = _finite(t)
+    p_x = o[..., 0] + tc * d[..., 0]
+    p_z = o[..., 2] + tc * d[..., 2]
     r = 0.5 + eps
     ok = (
         _in_range(t, t_min, t_max)
@@ -110,7 +120,7 @@ def _cube_face_fold(o, d, t_min, t_max, eps):
         denom = d[..., axis] * jnp.sign(sign)
         numer = -(o[..., axis] - sign) * jnp.sign(sign)
         t = _guarded_div(numer, denom)
-        p = o + t[..., None] * d
+        p = o + _finite(t)[..., None] * d
         contains = jnp.all(jnp.abs(p) <= r, axis=-1)
         ok = _in_range(t, t_min, t_max) & contains & (t < best_t)
         best_face = jnp.where(ok, fi, best_face)
@@ -130,14 +140,15 @@ def _cyl_parts(o, d, t_min, t_max):
     b = 2.0 * (o[..., 0] * d[..., 0] + o[..., 2] * d[..., 2])
     c = o[..., 0] ** 2 + o[..., 2] ** 2 - R2
     t_body, ok = m3.smallest_root_in_range(a, b, c, t_min, t_max)
-    y = o[..., 1] + t_body * d[..., 1]
+    y = o[..., 1] + _finite(t_body) * d[..., 1]
     ok = ok & ~(y > 0.5) & ~(y < -0.5)
     t_body = jnp.where(ok, t_body, INF)
 
     def cap(h):
         t = _guarded_div(h - o[..., 1], d[..., 1])
-        px = o[..., 0] + t * d[..., 0]
-        pz = o[..., 2] + t * d[..., 2]
+        tc = _finite(t)
+        px = o[..., 0] + tc * d[..., 0]
+        pz = o[..., 2] + tc * d[..., 2]
         okc = _in_range(t, t_min, t_max) & ~(px * px + pz * pz > R2)
         return jnp.where(okc, t, INF)
 
@@ -164,13 +175,14 @@ def _cone_parts(o, d, t_min, t_max):
     b = -8.0 * h2 * (dx * ox + dz * oz) - 4.0 * r2 * (dy * H - 2.0 * dy * oy)
     c = -4.0 * h2 * (ox * ox + oz * oz) + r2 * (h2 - 4.0 * H * oy + 4.0 * oy * oy)
     t_body, ok = m3.smallest_root_in_range(a, b, c, t_min, t_max)
-    y = oy + t_body * dy
+    y = oy + _finite(t_body) * dy
     ok = ok & ~(y > 0.5) & ~(y < -0.5)
     t_body = jnp.where(ok, t_body, INF)
 
     t_cap = _guarded_div(-0.5 - oy, dy)
-    px = ox + t_cap * dx
-    pz = oz + t_cap * dz
+    tcc = _finite(t_cap)
+    px = ox + tcc * dx
+    pz = oz + tcc * dz
     okc = _in_range(t_cap, t_min, t_max) & ~(px * px + pz * pz > r2)
     t_cap = jnp.where(okc, t_cap, INF)
     return t_body, t_cap
@@ -298,9 +310,11 @@ def intersect_scene(
     primitives without disturbing any other geometry.
     """
     # Dispatch to an accelerated sweep (the analogue of the reference's
-    # kdtree feature flag).  NOTE: both accelerated paths use dynamic-trip
-    # while_loops and are forward-only; use accel="flat" for reverse-mode
-    # differentiation.
+    # kdtree feature flag).  Both accelerated paths use dynamic-trip
+    # while_loops, so their inputs are stop_gradient-ed: they act as pure
+    # *selection* oracles (which node/tri is nearest).  Differentiability is
+    # restored downstream by hit_detail's reattached-t recompute, so every
+    # accel mode supports reverse-mode AD.
     if cfg.accel == "pallas" and o.dtype == jnp.float32:
         # Only take the Mosaic kernel on real TPU backends (or when
         # interpret mode is explicitly requested, e.g. by CPU equivalence
@@ -310,7 +324,7 @@ def intersect_scene(
             from .pallas_intersect import intersect_scene_pallas
 
             return intersect_scene_pallas(
-                o, d, t_min, t_max, st, cfg,
+                *jax.lax.stop_gradient((o, d, t_min, t_max, st)), cfg,
                 active=active, src_node=src_node, src_tri=src_tri,
             )
     if cfg.accel in ("beam", "pallas"):
@@ -319,7 +333,7 @@ def intersect_scene(
             from .beam import intersect_scene_beam
 
             return intersect_scene_beam(
-                o, d, t_min, t_max, st, cfg,
+                *jax.lax.stop_gradient((o, d, t_min, t_max, st)), cfg,
                 active=active, src_node=src_node, src_tri=src_tri,
             )
 
@@ -340,7 +354,7 @@ def intersect_scene(
         base = t_min[:, None]
         if not use_src:
             return base
-        d_norm = jnp.sqrt(jnp.sum(ld * ld, axis=-1))
+        d_norm = m3.norm(ld, eps=1e-20)
         t_self = cfg.self_eps_local / jnp.maximum(d_norm, 1e-30)
         return jnp.where(is_src, jnp.maximum(base, t_self), base)
 
@@ -433,7 +447,8 @@ def occluded(
             from .pallas_intersect import intersect_scene_pallas
 
             return intersect_scene_pallas(
-                o, d, t_min, t_max, st, cfg, active=active,
+                *jax.lax.stop_gradient((o, d, t_min, t_max, st)), cfg,
+                active=active,
                 src_node=src_node, src_tri=src_tri, any_hit=True,
             ).hit
     return intersect_scene(
@@ -581,11 +596,10 @@ def _torus_detail(p, params, dtype):
             jnp.broadcast_to(jnp.eye(3, dtype=dtype), (R, 3, 3)), zeros)
 
 
-def _mesh_detail(lo, ld, tri_ix, st: SceneTables, t_min, t_max, dtype):
+def _mesh_detail(lo, ld, trec, t_min, t_max, dtype):
     """Detail for mesh hits: recompute barycentrics on the winning triangle.
 
-    All per-triangle data comes from ONE fused row gather (st.tri_rec)."""
-    trec = tri_record(st)[tri_ix]               # [R,26] one fused gather
+    All per-triangle data comes from ONE fused row gather (trec)."""
     a = trec[:, 0:3]
     b = trec[:, 3:6]
     c = trec[:, 6:9]
@@ -626,8 +640,22 @@ def _mesh_detail(lo, ld, tri_ix, st: SceneTables, t_min, t_max, dtype):
     return n, uv, has_uv, nmt, has_uv
 
 
-def hit_detail(o, d, hit: Hit, st: SceneTables, cfg: RenderConfig, t_min) -> HitDetail:
-    """Compute world hit point / normal / uv / tangent info for winners."""
+def hit_detail(
+    o, d, hit: Hit, st: SceneTables, cfg: RenderConfig, t_min,
+    src_node=None, src_tri=None, reattach: bool = True,
+) -> HitDetail:
+    """Compute world hit point / normal / uv / tangent info for winners.
+
+    With ``reattach`` (default), the winning primitive's hit parameter is
+    recomputed differentiably from the scene tables and grafted onto the
+    sweep's t via ``stop_gradient(t) + (t_re - stop_gradient(t_re))``:
+    the forward value is bit-identical to the sweep's t, while gradients
+    flow through the *recompute* to node transforms and primitive params.
+    This is the detached-selection / reattached-value construction that
+    makes every accelerated sweep (Pallas kernel, beam) differentiable at
+    O(R) extra cost — and it also spares reverse mode from transposing the
+    brute-force [R x N] sweep in the flat path.
+    """
     R = o.shape[0]
     dtype = o.dtype
     node = jnp.maximum(hit.node, 0)
@@ -635,13 +663,54 @@ def hit_detail(o, d, hit: Hit, st: SceneTables, cfg: RenderConfig, t_min) -> Hit
     t_min = jnp.broadcast_to(jnp.asarray(t_min, dtype), (R,))
     t_max = jnp.full((R,), INF, dtype)
 
-    rec = node_record(st)[node]  # [R,32] — the ONLY per-node gather
+    rec = node_record(st)[node]  # [R,34] — the ONLY per-node gather
     inv = rec[:, 0:12].reshape(R, 3, 4)
     # Normal matrix = transposed rotation of world->local (scene.rs:204:
     # invtrans.transposed() applied to w=0 vectors).
     nmat = jnp.swapaxes(inv[:, :, :3], 1, 2)
     lo = m3.transform_point(inv, o)
     ld = m3.transform_dir(inv, d)
+
+    # Effective per-ray t-range start, mirroring the sweep's self-
+    # intersection raise (so recomputes select the same root).
+    if src_node is not None and cfg.self_eps_local > 0.0:
+        is_src = hit.node == src_node
+        if src_tri is not None:
+            is_src = is_src & (hit.tri == src_tri)
+        dn = m3.norm(ld, eps=1e-20)
+        t_self = cfg.self_eps_local / jnp.maximum(dn, 1e-30)
+        t_min = jnp.where(is_src, jnp.maximum(t_min, t_self), t_min)
+
+    ray_kind = rec[:, 31].astype(jnp.int32)
+    present = {k for (k, _, _) in st.groups}
+    eps = cfg.epsilon
+    trec = None
+    if MESH in present:
+        trec = tri_record(st)[jnp.maximum(hit.tri, 0)]  # [R,26] one gather
+
+    if reattach:
+        t_re = jnp.full((R,), INF, dtype)
+        for kind in sorted(present):
+            if kind == MESH:
+                tk, _, _ = triangle_candidate(
+                    lo[:, None, :], ld[:, None, :],
+                    trec[:, None, 0:3], trec[:, None, 3:6],
+                    trec[:, None, 6:9],
+                    t_min[:, None], t_max[:, None],
+                )
+                tk = tk[:, 0]
+            else:
+                tk = _ANALYTIC_CANDIDATES[kind](
+                    lo, ld, t_min, t_max, eps, params=rec[:, REC_PARAMS]
+                )
+            t_re = jnp.where(ray_kind == kind, tk, t_re)
+        # Sanitize: if float asymmetry between sweep math and the recompute
+        # loses the root, drop the gradient rather than the pixel.
+        t_re = jnp.where(jnp.isfinite(t_re), t_re, 0.0)
+        t = jax.lax.stop_gradient(t) + jnp.where(
+            hit.hit, t_re - jax.lax.stop_gradient(t_re), 0.0
+        )
+
     p_local = lo + t[:, None] * ld
     point = o + t[:, None] * d
 
@@ -651,10 +720,6 @@ def hit_detail(o, d, hit: Hit, st: SceneTables, cfg: RenderConfig, t_min) -> Hit
     nmt = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (R, 3, 3))
     has_nmt = jnp.zeros((R,), bool)
 
-    ray_kind = rec[:, 31].astype(jnp.int32)
-
-    eps = cfg.epsilon
-    present = {k for (k, _, _) in st.groups}
     for kind in sorted(present):
         if kind == SPHERE:
             parts = _sphere_detail(p_local, eps, dtype)
@@ -667,7 +732,7 @@ def hit_detail(o, d, hit: Hit, st: SceneTables, cfg: RenderConfig, t_min) -> Hit
         elif kind == CONE:
             parts = _cone_detail(lo, ld, t_min, t_max, p_local, dtype)
         elif kind == MESH:
-            parts = _mesh_detail(lo, ld, jnp.maximum(hit.tri, 0), st, t_min, t_max, dtype)
+            parts = _mesh_detail(lo, ld, trec, t_min, t_max, dtype)
         elif kind == TORUS:
             parts = _torus_detail(p_local, rec[:, REC_PARAMS], dtype)
         mask = ray_kind == kind

@@ -121,7 +121,7 @@ def shade_hits(
     # robustness on large scenes (reference is f64 with plain EPSILON).
     t_eps = jnp.maximum(
         jnp.asarray(cfg.epsilon, dtype),
-        cfg.eps_rel * m3.norm(p),
+        cfg.eps_rel * m3.norm(p, eps=1e-20),
     ) if cfg.eps_rel else jnp.full((R,), cfg.epsilon, dtype)
 
     for li in range(st.n_lights):
@@ -132,7 +132,7 @@ def shade_hits(
             ab = _uniform(key, 1000 + 2 * li, (R, 2), dtype) * 2.0 - 1.0
             lpos = lpos + ab[:, :1] * st.light_area_a[li] + ab[:, 1:] * st.light_area_b[li]
         hit_to_light = lpos - p
-        light_dist = m3.norm(hit_to_light)
+        light_dist = m3.norm(hit_to_light, eps=1e-20)
         light_dir = hit_to_light / jnp.maximum(light_dist, 1e-30)[..., None]
         attenuation = c0 + c1 * light_dist + c2 * light_dist * light_dist
 
@@ -144,7 +144,7 @@ def shade_hits(
         nl = jnp.maximum(m3.dot(n, light_dir), 0.0)
         diffuse = diffuse_color * lcol[None, :] * nl[..., None]
         half = m3.normalize(view + light_dir, eps=1e-30)
-        nh = jnp.maximum(m3.dot(n, half), 0.0) ** (4.0 * mat_shininess)
+        nh = jnp.maximum(m3.dot(n, half), 1e-20) ** (4.0 * mat_shininess)
         specular = mat_specular * lcol[None, :] * nh[..., None]
         lit = (~occ)[..., None].astype(dtype)
         color = color + lit * (diffuse + specular) / attenuation[..., None]
@@ -190,15 +190,15 @@ def shade_hits(
         entering = dn < 0.0
         # Entering (material.rs:253-264): refract(d, n, eta), eta_outside = 1.
         under_e = 1.0 - (1.0 - dn * dn) / (eta * eta)
-        refr_e = (d - n * dn[..., None]) / eta[..., None] - n * jnp.sqrt(
-            jnp.maximum(under_e, 0.0)
+        refr_e = (d - n * dn[..., None]) / eta[..., None] - n * m3.safe_sqrt(
+            under_e
         )[..., None]
         cos_e = -dn
         # Exiting (material.rs:265-275): refract(d, -n, 1/eta) -> possible TIR.
         under_x = 1.0 - (1.0 - dn * dn) * (eta * eta)
         tir = under_x < 0.0
-        refr_x = (d - n * dn[..., None]) * eta[..., None] + n * jnp.sqrt(
-            jnp.maximum(under_x, 0.0)
+        refr_x = (d - n * dn[..., None]) * eta[..., None] + n * m3.safe_sqrt(
+            under_x
         )[..., None]
         cos_x = m3.dot(refr_x, n)
 

@@ -53,7 +53,10 @@ def _round(
         q.o, q.d, q.t_min, jnp.inf, st, cfg, active=active,
         src_node=q.src_node, src_tri=q.src_tri,
     )
-    det = hit_detail(q.o, q.d, hit, st, cfg, q.t_min)
+    det = hit_detail(
+        q.o, q.d, hit, st, cfg, q.t_min,
+        src_node=q.src_node, src_tri=q.src_tri,
+    )
 
     if spp_c:  # pixel-major primary queue: broadcast instead of gather
         Q = q.o.shape[0]

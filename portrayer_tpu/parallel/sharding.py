@@ -28,9 +28,12 @@ from ..ops.trace import trace
 RAY_AXIS = "rays"
 
 # Scene/material arrays a differentiable render step takes gradients for.
+# "inv" is the per-node world->local transform table — its gradients are the
+# node-transform gradients of the north star (chain rule through the inverse
+# is the caller's concern; the flat table *is* the device-side parameter).
 DIFF_FIELDS = (
     "mat_diffuse", "mat_specular", "mat_reflectivity", "mat_shininess",
-    "light_color", "light_pos", "ambient",
+    "light_color", "light_pos", "ambient", "inv",
 )
 
 
@@ -91,12 +94,9 @@ def train_step(
     grads covers DIFF_FIELDS.  Gradients flow through the full wavefront
     bounce loop; the psum in trace_sharded transposes into the gradient
     all-reduce."""
-    import dataclasses
-
-    # The beam accelerator uses a dynamic-trip while_loop (forward-only);
-    # reverse-mode differentiation needs the flat sweep.
-    if cfg.accel in ("beam", "pallas"):
-        cfg = dataclasses.replace(cfg, accel="flat")
+    # Every accel mode is differentiable: the sweeps are stop_gradient-ed
+    # selection oracles and hit_detail reattaches a differentiable t
+    # (see ops/intersect.py), so training runs at accelerated-sweep speed.
     params, _ = split_params(st)
 
     def loss_fn(params):

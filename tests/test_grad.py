@@ -102,3 +102,41 @@ def test_grad_light_pos_matches_fd():
 
 def test_grad_reflectivity_matches_fd():
     _check_grad("mat_reflectivity", eps=5e-3, rtol=0.1)
+
+
+def test_grad_transform_matches_fd():
+    # node transforms (st.inv, the flat world->local table): gradients flow
+    # through the reattached-t recompute + hit detail (north-star: transform
+    # gradients; BASELINE.json).
+    _check_grad("inv", eps=2e-3, rtol=0.15)
+
+
+def _grads(cfg):
+    st = flatten_scene(_scene(), dtype=jnp.float32)
+    o, d = _rays()
+    n = o.shape[0]
+    pix = jnp.arange(n, dtype=jnp.int32)
+    bg = jnp.full((n, 3), 0.3, jnp.float32)
+
+    def loss(diffuse, inv):
+        st2 = st.replace(mat_diffuse=diffuse, inv=inv)
+        return jnp.sum(trace(KEY, o, d, pix, bg, n, st2, cfg) ** 2)
+
+    return jax.grad(loss, argnums=(0, 1))(st.mat_diffuse, st.inv)
+
+
+def test_grad_accelerated_sweeps_match_flat():
+    # The stop_gradient-ed sweeps + reattached-t construction must give the
+    # same gradients as differentiating the flat sweep directly (same
+    # selection -> same piecewise-smooth branch).
+    g_flat = _grads(dataclasses.replace(CFG, accel="flat"))
+    g_beam = _grads(dataclasses.replace(CFG, accel="beam", beam_min_prims=1))
+    g_pallas = _grads(
+        dataclasses.replace(CFG, accel="pallas", pallas_interpret=True)
+    )
+    for ga, gb in zip(g_flat, g_beam):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=2e-4, atol=1e-5)
+    for ga, gp in zip(g_flat, g_pallas):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gp),
+                                   rtol=2e-4, atol=1e-5)
