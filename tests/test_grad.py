@@ -53,7 +53,7 @@ def _loss_fn(st, field):
         acc = trace(KEY, o, d, pix, bg, n, st2, CFG)
         return jnp.sum(acc ** 2)
 
-    return loss
+    return jax.jit(loss)
 
 
 def _check_grad(field, eps=1e-2, rtol=0.08):
@@ -70,17 +70,35 @@ def _check_grad(field, eps=1e-2, rtol=0.08):
     # whether child rays exist at all — material.rs:216) are one-sided
     # non-differentiable, matching the reference's semantics.
     order = np.argsort(-np.abs(g).ravel())
-    flat_idx = [fi for fi in order if abs(g.ravel()[fi]) > 1e-6][:4]
+    flat_idx = [fi for fi in order if abs(g.ravel()[fi]) > 1e-6][:6]
+    checked = 0
     for fi in flat_idx:
         idx = np.unravel_index(fi, g.shape)
         basis = jnp.zeros_like(value).at[idx].set(1.0)
-        f_plus = float(loss(value + eps * basis))
-        f_minus = float(loss(value - eps * basis))
-        fd = (f_plus - f_minus) / (2 * eps)
+
+        def fd_at(e):
+            f_plus = float(loss(value + e * basis))
+            f_minus = float(loss(value - e * basis))
+            return (f_plus - f_minus) / (2 * e)
+
+        fd = fd_at(eps)
+        fd_half = fd_at(eps / 2)
+        # Visibility is piecewise smooth: if a ray sits exactly on a
+        # structural boundary (shadow edge, primitive silhouette, face tie),
+        # the loss has a jump there and the central difference measures
+        # jump/(2*eps), not a slope — it then *grows* as eps shrinks instead
+        # of converging.  Skip such coordinates (the analytic gradient is the
+        # slope of the smooth branch, which no FD straddling a jump can see).
+        denom = max(abs(fd), abs(fd_half), 1e-6)
+        if abs(fd_half - fd) / denom > 0.25:
+            continue
         an = g[idx]
         assert np.isclose(an, fd, rtol=rtol, atol=5e-3), (
             f"{field}{idx}: analytic {an} vs fd {fd}"
         )
+        checked += 1
+    need = min(2, max(len(flat_idx) - 1, 1))
+    assert checked >= need, f"{field}: only {checked} FD-stable coordinates"
 
 
 def test_grad_diffuse_matches_fd():
