@@ -327,7 +327,7 @@ def _branches(t_max, eps):
 def _make_kernel(B, SCp, eps, self_eps_local, dtype, any_hit=False):
     use_src = self_eps_local > 0.0
 
-    def kernel(candte_ref, rays_ref, pf_ref, pid_ref,
+    def kernel(candte_ref, rays_ref, pf_ref, pid_ref, aabb_ref,
                bt_ref, bn_ref, btr_ref):
         s = pl.program_id(1)
 
@@ -406,11 +406,48 @@ def _make_kernel(B, SCp, eps, self_eps_local, dtype, any_hit=False):
         def body(state):
             ci, btl, bnl, btrl = state
             cand = pick_scalar(cand_row, ci, jnp.int32(0))
-            t, node, tri = chunk_hits(cand)
-            better = t < btl
-            btl = jnp.where(better, t, btl)
-            bnl = jnp.where(better, node, bnl)
-            btrl = jnp.where(better, tri, btrl)
+
+            # Per-ray chunk-AABB slab pre-test (~128x cheaper than the
+            # candidate math): the prologue's beam test is conservative over
+            # the whole block and knows nothing about the current best-t;
+            # here each ray tests the exact chunk AABB against its live
+            # [t_min, min(best, t_max)) interval, and the whole chunk is
+            # skipped when no lane needs it — the per-ray analogue of the
+            # kd-tree's t-range clipping descent (kdtree/node.rs:90-110).
+            cid = jax.lax.shift_right_logical(cand, 3)
+            csel = lane_sc == cid
+            arow = lambda r: jnp.sum(jnp.where(csel, aabb_ref[r:r + 1, :], 0.0))
+            ten = jnp.full((B, 1), -INF, dtype)
+            tex = jnp.full((B, 1), INF, dtype)
+            for ax, (o_c, d_c) in enumerate(((ox, dx), (oy, dy), (oz, dz))):
+                tiny = jnp.where(d_c < 0.0, -1e-30, 1e-30)
+                rcp = 1.0 / jnp.where(jnp.abs(d_c) < 1e-30, tiny, d_c)
+                t1 = (arow(ax) - o_c) * rcp
+                t2 = (arow(ax + 4) - o_c) * rcp
+                ten = jnp.maximum(ten, jnp.minimum(t1, t2))
+                tex = jnp.minimum(tex, jnp.maximum(t1, t2))
+            per_best = jnp.minimum(jnp.min(btl, axis=1, keepdims=True), bt_prev)
+            if any_hit:
+                needs = act & (per_best >= tmax)           # still unfound
+                ub = tmax
+            else:
+                needs = act
+                ub = jnp.minimum(per_best, tmax)
+            needs = needs & (jnp.maximum(ten, tmin) <= jnp.minimum(tex, ub))
+
+            def run(args):
+                btl, bnl, btrl = args
+                t, node, tri = chunk_hits(cand)
+                better = t < btl
+                return (
+                    jnp.where(better, t, btl),
+                    jnp.where(better, node, bnl),
+                    jnp.where(better, tri, btrl),
+                )
+
+            btl, bnl, btrl = jax.lax.cond(
+                jnp.any(needs), run, lambda a: a, (btl, bnl, btrl)
+            )
             return ci + 1, btl, bnl, btrl
 
         _, btl, bnl, btrl = jax.lax.while_loop(
@@ -507,6 +544,24 @@ def intersect_scene_pallas(
         pf = jnp.pad(pf, ((0, 0), (0, extra * C)))
         pid = jnp.pad(pid, ((0, 0), (0, extra * C)), constant_values=-1)
 
+    # Per-chunk AABB table for the kernel's per-ray slab pre-test, inflated
+    # by a small absolute+relative epsilon so float asymmetry between the
+    # cull and the candidate math can never reject a true hit.  Rows:
+    # 0..2 = min xyz, 4..6 = max xyz (3, 7 pad for sublane alignment);
+    # padding chunks get an empty box (min > max).
+    cmin = pk.chunk_min - (1e-5 + 1e-5 * jnp.abs(pk.chunk_min))
+    cmax = pk.chunk_max + (1e-5 + 1e-5 * jnp.abs(pk.chunk_max))
+    if Ncp > Nc:
+        extra = Ncp - Nc
+        cmin = jnp.pad(cmin, ((0, extra), (0, 0)), constant_values=1.0)
+        cmax = jnp.pad(cmax, ((0, extra), (0, 0)), constant_values=0.0)
+    zero_row = jnp.zeros((Ncp,), dtype)
+    aabb = jnp.stack(
+        [cmin[:, 0], cmin[:, 1], cmin[:, 2], zero_row,
+         cmax[:, 0], cmax[:, 1], cmax[:, 2], zero_row],
+        axis=0,
+    )                                                   # [8, Ncp]
+
     te = t_enter.reshape(NB, Nslab, SC)
     order = jnp.argsort(te, axis=2).astype(jnp.int32)
     te_s = jnp.take_along_axis(te, order, axis=2)
@@ -548,6 +603,8 @@ def intersect_scene_pallas(
                            memory_space=pltpu.VMEM)
     pid_spec = pl.BlockSpec((2, SC * C), lambda b, s: (0, s),
                             memory_space=pltpu.VMEM)
+    aabb_spec = pl.BlockSpec((8, SC), lambda b, s: (0, s),
+                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, B, 1), lambda b, s: (b, 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -560,7 +617,7 @@ def intersect_scene_pallas(
     bt, bn, btr = pl.pallas_call(
         kernel,
         grid=(NB, Nslab),
-        in_specs=[candte_spec, rays_spec, pf_spec, pid_spec],
+        in_specs=[candte_spec, rays_spec, pf_spec, pid_spec, aabb_spec],
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct((NB, B, 1), dtype),
@@ -568,7 +625,7 @@ def intersect_scene_pallas(
             jax.ShapeDtypeStruct((NB, B, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(candte, rays_packed, pf, pid)
+    )(candte, rays_packed, pf, pid, aabb)
 
     bt = bt.reshape(R)[:R0]
     bn = bn.reshape(R)[:R0]
