@@ -640,6 +640,60 @@ def _mesh_detail(lo, ld, trec, t_min, t_max, dtype):
     return n, uv, has_uv, nmt, has_uv
 
 
+def _winner_candidate_t(lo, ld, ray_kind, rec, trec, t_min, t_max, eps,
+                        present):
+    """Per-ray candidate t of each ray's (already selected) winning
+    primitive, recomputed in local space from the scene tables [R]-sized.
+    Shared by hit_detail's differentiable reattach and the Pallas sweep's
+    exact-t epilogue (the kernel selects with lane-tagged quantized keys)."""
+    t_re = jnp.full(lo.shape[:-1], INF, lo.dtype)
+    for kind in sorted(present):
+        if kind == MESH:
+            tk, _, _ = triangle_candidate(
+                lo[:, None, :], ld[:, None, :],
+                trec[:, None, 0:3], trec[:, None, 3:6], trec[:, None, 6:9],
+                t_min[:, None], t_max[:, None],
+            )
+            tk = tk[:, 0]
+        else:
+            tk = _ANALYTIC_CANDIDATES[kind](
+                lo, ld, t_min, t_max, eps, params=rec[:, REC_PARAMS]
+            )
+        t_re = jnp.where(ray_kind == kind, tk, t_re)
+    return t_re
+
+
+def winner_t(o, d, node, tri, st: SceneTables, cfg: RenderConfig,
+             t_min, t_max=INF, src_node=None, src_tri=None):
+    """Exact candidate t for per-ray winners (node, tri) — the selection's
+    value recomputed from the tables; INF when the winner's root is lost to
+    float asymmetry (callers keep a fallback)."""
+    R = o.shape[0]
+    dtype = o.dtype
+    nix = jnp.maximum(node, 0)
+    rec = node_record(st)[nix]
+    inv = rec[:, 0:12].reshape(R, 3, 4)
+    lo = m3.transform_point(inv, o)
+    ld = m3.transform_dir(inv, d)
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, dtype), (R,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, dtype), (R,))
+    if src_node is not None and cfg.self_eps_local > 0.0:
+        is_src = node == src_node
+        if src_tri is not None:
+            is_src = is_src & (tri == src_tri)
+        dn = m3.norm(ld, eps=1e-20)
+        t_self = cfg.self_eps_local / jnp.maximum(dn, 1e-30)
+        t_min = jnp.where(is_src, jnp.maximum(t_min, t_self), t_min)
+    ray_kind = rec[:, 31].astype(jnp.int32)
+    present = {k for (k, _, _) in st.groups}
+    trec = None
+    if MESH in present:
+        trec = tri_record(st)[jnp.maximum(tri, 0)]
+    return _winner_candidate_t(
+        lo, ld, ray_kind, rec, trec, t_min, t_max, cfg.epsilon, present
+    )
+
+
 def hit_detail(
     o, d, hit: Hit, st: SceneTables, cfg: RenderConfig, t_min,
     src_node=None, src_tri=None, reattach: bool = True,
@@ -689,21 +743,9 @@ def hit_detail(
         trec = tri_record(st)[jnp.maximum(hit.tri, 0)]  # [R,26] one gather
 
     if reattach:
-        t_re = jnp.full((R,), INF, dtype)
-        for kind in sorted(present):
-            if kind == MESH:
-                tk, _, _ = triangle_candidate(
-                    lo[:, None, :], ld[:, None, :],
-                    trec[:, None, 0:3], trec[:, None, 3:6],
-                    trec[:, None, 6:9],
-                    t_min[:, None], t_max[:, None],
-                )
-                tk = tk[:, 0]
-            else:
-                tk = _ANALYTIC_CANDIDATES[kind](
-                    lo, ld, t_min, t_max, eps, params=rec[:, REC_PARAMS]
-                )
-            t_re = jnp.where(ray_kind == kind, tk, t_re)
+        t_re = _winner_candidate_t(
+            lo, ld, ray_kind, rec, trec, t_min, t_max, eps, present
+        )
         # Sanitize: if float asymmetry between sweep math and the recompute
         # loses the root, drop the gradient rather than the pixel.
         t_re = jnp.where(jnp.isfinite(t_re), t_re, 0.0)

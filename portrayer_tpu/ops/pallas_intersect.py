@@ -1,40 +1,48 @@
 """Pallas TPU sweep kernel — the production intersection path.
 
 The XLA sweeps in ops/intersect.py materialize [rays, chunk] intermediates
-in HBM and are bandwidth-bound (~2 Mrays/s on a 1000-prim scene).  This
-kernel keeps the whole working set in VMEM and runs the ray x prim cross
-product on the VPU as [B,1] x [1,128] broadcasts:
+in HBM and are bandwidth-bound.  This kernel keeps the whole working set in
+VMEM and runs the ray x prim cross product on the VPU as [B,1] x [1,128]
+broadcasts:
 
   * The scene is the packed Morton-chunked prim table built by
     scene/flatten.py (`PackedPrims`): 128-wide single-kind chunks with
     world AABBs — the SIMD analogue of the reference's kd-tree leaves
-    (src/kdtree/leaf.rs:89-231).
+    (src/kdtree/leaf.rs:89-231).  Chunks carry *specialized* kinds where
+    the transform can be baked out at pack time (world-space spheres,
+    axis-aligned boxes, world-space triangles), cutting the per-candidate
+    VPU cost by 2-4x vs the general world->local affine path.
   * An XLA prologue culls chunks per ray block with the conservative
     interval slab test (the beam-sweep test, ops/beam.py), sorts survivors
     front-to-back by conservative entry-t, and hands the kernel per-block
-    candidate lists (culled/padded entries carry entry-t = +inf).
+    candidate lists in SMEM (culled/padded entries carry entry-t = +inf).
   * The kernel walks candidates with a while_loop: dynamic-slice the
-    chunk's 21 table rows from the VMEM-resident slab, transform the ray
-    block into prim-local frames, lax.switch on the chunk's primitive
-    kind, fold a per-lane nearest hit, and stop as soon as the next
-    chunk's entry-t exceeds the block's current-best upper bound — the
+    chunk's table rows from the VMEM-resident slab, lax.switch on the
+    chunk's packed kind, and fold the per-ray nearest hit as a *lane-tagged
+    int32 key*: positive floats order identically as int32 bit patterns, so
+    (t_bits & ~127) | lane makes one lane-min reduction deliver both the
+    nearest t (quantized to 2^-16 relative) and the winning lane — no
+    argmin, no per-chunk id selects.  The sweep stops as soon as the next
+    chunk's entry-t exceeds every live ray's current upper bound — the
     early termination of ordered kd-tree descent (kdtree/node.rs:132-199)
     at ray-block granularity with fully static shapes.
+  * The wrapper's XLA epilogue decodes (candidate, lane) -> (node, tri) and
+    recomputes the winner's t *exactly* (and differentiably) from the scene
+    tables via ops.intersect.winner_t — the same detached-selection /
+    reattached-value construction hit_detail uses, so Hit.t keeps full f32
+    precision and the pallas path supports reverse-mode AD.
   * Prim tables larger than one VMEM slab stream through a second grid
     dimension; the running best lives in the (revisited) output block.
 
-TPU block-shape rules (last two dims divisible by (8,128) or equal to the
-array's) shape the layouts: per-ray vectors are stored [NB, B, 1] (rays on
-sublanes) and per-block candidate lists [NB*Nslab, 1, SCp] (candidates on
-lanes) so blocks cover full trailing dims, and per-candidate scalars are
-read with one-hot masked reductions instead of dynamic vector indexing.
+Selection semantics match ops/intersect.py except for ties within one
+2^-16 relative t-quantum, which resolve by (chunk order, lane) — i.e.
+Morton order — instead of scene order (verified negligible by the
+equivalence tests, the reference's mesh_equivalence oracle pattern,
+src/kdtree/kdmesh.rs:99-166).
 
-Selection semantics match ops/intersect.py except for exact-t ties between
-two different primitives, which resolve by Morton order instead of scene
-order (verified negligible by the equivalence tests, the reference's
-mesh_equivalence oracle pattern, src/kdtree/kdmesh.rs:99-166).
-
-Forward-only (no VJP): the differentiable path uses accel="flat".
+any_hit=True answers occlusion queries (shadow rays, material.rs:174-179):
+the sweep stops as soon as every live ray has found *some* in-range hit,
+and only `.hit` is meaningful in the result.
 """
 
 from __future__ import annotations
@@ -45,17 +53,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
-from ..scene.flatten import SceneTables, PACK_CHUNK
-from .intersect import Hit
+from ..scene.flatten import (
+    SceneTables, PACK_CHUNK, PACKED_SPHERE_W, PACKED_AABOX,
+)
+from .intersect import Hit, winner_t
 from .beam import _warp_entry_t, _pad_to
 
 INF = jnp.inf
+INF_BITS = 0x7F800000  # bit pattern of float32 +inf (python int: kernels must not capture arrays)
 C = PACK_CHUNK  # 128 prims per chunk = one VPU lane sweep
+KIND_BITS = 4   # candidate id = sorted_chunk_index * 16 + packed_kind
 
 
 # ---------------------------------------------------------------------------
 # Componentwise candidate math (same formulas as ops/intersect.py, which
-# cites the reference per primitive; operands are [B,128] local components).
+# cites the reference per primitive; operands are [B,128] components).
 # ---------------------------------------------------------------------------
 
 def _gd(n, d, fill=INF):
@@ -104,381 +116,430 @@ def _smallest_root(a, b, c, t_min, t_max):
     return jnp.where(ok0, r0, jnp.where(ok1, r1, INF))
 
 
-def _branches(t_max, eps):
-    """The six per-kind candidate functions for lax.switch.
-
-    Signature: (lox,loy,loz, ldx,ldy,ldz, t_min, ax,ay,az, bx,by,bz,
-    cx,cy,cz) -> t [B,128] (inf = miss).  Vertex rows are ignored by the
-    analytic kinds.
-    """
-
-    def in_range(t, t_min):
-        return (t >= t_min) & (t < t_max)
-
-    def sphere(lox, loy, loz, ldx, ldy, ldz, t_min, *_):
-        a = ldx * ldx + ldy * ldy + ldz * ldz
-        b = 2.0 * (lox * ldx + loy * ldy + loz * ldz)
-        c = lox * lox + loy * loy + loz * loz - 1.0
-        return _smallest_root(a, b, c, t_min, t_max)
-
-    def plane(lox, loy, loz, ldx, ldy, ldz, t_min, *_):
-        t = _gd(-loy, ldy)
-        px = lox + t * ldx
-        pz = loz + t * ldz
-        r = 0.5 + eps
-        ok = in_range(t, t_min) & (jnp.abs(px) <= r) & (jnp.abs(pz) <= r)
-        return jnp.where(ok, t, INF)
-
-    def cube(lox, loy, loz, ldx, ldy, ldz, t_min, *_):
-        r = 0.5 + eps
-        o3 = (lox, loy, loz)
-        d3 = (ldx, ldy, ldz)
-        best = jnp.full(lox.shape, INF, lox.dtype)
-        # FACES order of cube.rs:46-65 (sign-folded plane solve).
-        for axis, sign in ((0, 0.5), (0, -0.5), (1, 0.5), (1, -0.5),
-                           (2, 0.5), (2, -0.5)):
-            s = 1.0 if sign > 0 else -1.0
-            t = _gd(-(o3[axis] - sign) * s, d3[axis] * s)
-            px = lox + t * ldx
-            py = loy + t * ldy
-            pz = loz + t * ldz
-            contains = (
-                (jnp.abs(px) <= r) & (jnp.abs(py) <= r) & (jnp.abs(pz) <= r)
-            )
-            ok = in_range(t, t_min) & contains & (t < best)
-            best = jnp.where(ok, t, best)
-        return best
-
-    def cylinder(lox, loy, loz, ldx, ldy, ldz, t_min, *_):
-        R2 = 0.25
-        a = ldx * ldx + ldz * ldz
-        b = 2.0 * (lox * ldx + loz * ldz)
-        c = lox * lox + loz * loz - R2
-        t_body = _smallest_root(a, b, c, t_min, t_max)
-        y = loy + t_body * ldy
-        best = jnp.where(~(y > 0.5) & ~(y < -0.5), t_body, INF)
-        for h in (0.5, -0.5):
-            t = _gd(h - loy, ldy)
-            px = lox + t * ldx
-            pz = loz + t * ldz
-            ok = in_range(t, t_min) & ~(px * px + pz * pz > R2)
-            t = jnp.where(ok, t, INF)
-            best = jnp.where(t < best, t, best)
-        return best
-
-    def cone(lox, loy, loz, ldx, ldy, ldz, t_min, *_):
-        H = 1.0
-        h2 = H * H
-        r2 = 0.25
-        a = 4.0 * ldy * ldy * r2 - 4.0 * h2 * (ldx * ldx + ldz * ldz)
-        b = (
-            -8.0 * h2 * (ldx * lox + ldz * loz)
-            - 4.0 * r2 * (ldy * H - 2.0 * ldy * loy)
-        )
-        c = (
-            -4.0 * h2 * (lox * lox + loz * loz)
-            + r2 * (h2 - 4.0 * H * loy + 4.0 * loy * loy)
-        )
-        t_body = _smallest_root(a, b, c, t_min, t_max)
-        y = loy + t_body * ldy
-        t_body = jnp.where(~(y > 0.5) & ~(y < -0.5), t_body, INF)
-        t_cap = _gd(-0.5 - loy, ldy)
-        px = lox + t_cap * ldx
-        pz = loz + t_cap * ldz
-        okc = in_range(t_cap, t_min) & ~(px * px + pz * pz > r2)
-        t_cap = jnp.where(okc, t_cap, INF)
-        return jnp.where(t_cap < t_body, t_cap, t_body)
-
-    def torus(lox, loy, loz, ldx, ldy, ldz, t_min, ax, ay, *_):
-        # Quartic torus (primitive/torus.rs:56-110); center radius in packed
-        # row 12 (ax), tube radius in row 13 (ay).  Ferrari + Newton polish,
-        # written without stacked axes for Mosaic (see math3d.quartic_roots
-        # for the reference implementation).
-        c_r, a_r = ax, ay
-        dd = ldx * ldx + ldy * ldy + ldz * ldz
-        pp = lox * lox + loy * loy + loz * loz
-        dp = ldx * lox + ldy * loy + ldz * loz
-        a2 = a_r * a_r
-        c2 = c_r * c_r
-        k = pp - (a2 + c2)
-        A = dd * dd
-        B = 4.0 * dd * dp
-        C4 = 2.0 * dd * k + 4.0 * dp * dp + 4.0 * c2 * ldy * ldy
-        D = 4.0 * k * dp + 8.0 * c2 * loy * ldy
-        E = k * k - 4.0 * c2 * (a2 - loy * loy)
-
-        safe_A = jnp.where(A == 0.0, 1.0, A)
-        b = B / safe_A
-        c = C4 / safe_A
-        d = D / safe_A
-        e = E / safe_A
-        b2 = b * b
-        p = c - 3.0 * b2 / 8.0
-        q = d - b * c / 2.0 + b2 * b / 8.0
-        r = e - b * d / 4.0 + b2 * c / 16.0 - 3.0 * b2 * b2 / 256.0
-
-        # Resolvent cubic z^3 + 2p z^2 + (p^2-4r) z - q^2: largest real root.
-        a2c = 2.0 * p
-        a1c = p * p - 4.0 * r
-        a0c = -q * q
-        pc = a1c - a2c * a2c / 3.0
-        qc = 2.0 * a2c ** 3 / 27.0 - a2c * a1c / 3.0 + a0c
-        half_q = qc / 2.0
-        third_p = pc / 3.0
-        disc = half_q * half_q + third_p ** 3
-        safe_tp = jnp.minimum(third_p, -1e-30)
-        mm = 2.0 * jnp.sqrt(-safe_tp)
-        cos_arg = jnp.clip(
-            3.0 * qc / (pc * jnp.where(pc == 0.0, 1.0, mm)), -1.0, 1.0
-        )
-        phi = _acos(cos_arg)
-        z_trig = mm * jnp.cos(phi / 3.0) - a2c / 3.0
-        sqd = jnp.sqrt(jnp.maximum(disc, 0.0))
-        u_c = _cbrt(-half_q + sqd)
-        v_c = _cbrt(-half_q - sqd)
-        z_card = u_c + v_c - a2c / 3.0
-        z = jnp.where(disc > 0.0, z_card, z_trig)
-        for _ in range(2):  # polish the resolvent (Cardano cancellation)
-            fz = ((z + a2c) * z + a1c) * z + a0c
-            fpz = (3.0 * z + 2.0 * a2c) * z + a1c
-            z = z - fz / jnp.where(fpz == 0.0, 1.0, fpz)
-        z = jnp.maximum(z, 0.0)
-
-        s = jnp.sqrt(z)
-        biquad = z < 1e-6 * (1.0 + jnp.abs(p))
-        s_safe = jnp.where(biquad, 1.0, s)
-        half = (p + z) / 2.0
-        shift = q / (2.0 * s_safe)
-        c1 = half - shift
-        c2q = half + shift
-
-        d1 = s * s - 4.0 * c1
-        ok12 = d1 >= 0.0
-        sq1 = jnp.sqrt(jnp.maximum(d1, 0.0))
-        u1 = (-s - sq1) / 2.0
-        u2 = (-s + sq1) / 2.0
-        d2 = s * s - 4.0 * c2q
-        ok34 = d2 >= 0.0
-        sq2 = jnp.sqrt(jnp.maximum(d2, 0.0))
-        u3 = (s - sq2) / 2.0
-        u4 = (s + sq2) / 2.0
-
-        ydisc = p * p - 4.0 * r
-        okb = ydisc >= 0.0
-        ysq = jnp.sqrt(jnp.maximum(ydisc, 0.0))
-        y1 = (-p - ysq) / 2.0
-        y2 = (-p + ysq) / 2.0
-        okb1 = okb & (y1 >= 0.0)
-        okb2 = okb & (y2 >= 0.0)
-        r1s = jnp.sqrt(jnp.maximum(y1, 0.0))
-        r2s = jnp.sqrt(jnp.maximum(y2, 0.0))
-
-        # NB: bool selects lower as 1-bit select_n, which Mosaic rejects
-        # ("unsupported target bitwidth for truncation") — use logic ops.
-        sel_ok = lambda okb, okf: (biquad & okb) | (~biquad & okf)
-        best = jnp.full(lox.shape, INF, lox.dtype)
-        for u, ok in (
-            (jnp.where(biquad, -r1s, u1), sel_ok(okb1, ok12)),
-            (jnp.where(biquad, r1s, u2), sel_ok(okb1, ok12)),
-            (jnp.where(biquad, -r2s, u3), sel_ok(okb2, ok34)),
-            (jnp.where(biquad, r2s, u4), sel_ok(okb2, ok34)),
-        ):
-            t = u - b / 4.0
-            for _ in range(3):  # Newton polish (float32 robustness)
-                f = (((A * t + B) * t + C4) * t + D) * t + E
-                fp = ((4.0 * A * t + 3.0 * B) * t + 2.0 * C4) * t + D
-                t = t - f / jnp.where(fp == 0.0, 1.0, fp)
-            valid = ok & in_range(t, t_min)
-            t = jnp.where(valid, t, INF)
-            best = jnp.where(t < best, t, best)
-        return best
-
-    def triangle(lox, loy, loz, ldx, ldy, ldz, t_min,
-                 ax, ay, az, bx, by, bz, cx, cy, cz):
-        # Shirley/Cramer (triangle.rs:39-80), componentwise.
-        A, B_, C_ = ax - bx, ay - by, az - bz
-        D, E, F = ax - cx, ay - cy, az - cz
-        G, H, I = ldx, ldy, ldz
-        J, K, L = ax - lox, ay - loy, az - loz
-        ei_hf = E * I - H * F
-        gf_di = G * F - D * I
-        dh_eg = D * H - E * G
-        M = A * ei_hf + B_ * gf_di + C_ * dh_eg
-        ak_jb = A * K - J * B_
-        jc_al = J * C_ - A * L
-        bl_ck = B_ * L - C_ * K
-        t = _gd(-(F * ak_jb + E * jc_al + D * bl_ck), M)
-        gamma = _gd(I * ak_jb + H * jc_al + G * bl_ck, M, 2.0)
-        beta = _gd(J * ei_hf + K * gf_di + L * dh_eg, M, 2.0)
-        ok = (
-            in_range(t, t_min)
-            & ~(gamma < 0.0) & ~(gamma > 1.0)
-            & ~(beta < 0.0) & ~(beta > 1.0 - gamma)
-        )
-        return jnp.where(ok, t, INF)
-
-    return (sphere, plane, cube, cylinder, cone, triangle, torus)
+def _unit_sphere_root(b, c, t_min, t_max):
+    """Smallest root of t^2 + b t + c in [t_min, t_max) (a == 1: world-space
+    spheres against normalized directions)."""
+    disc = b * b - 4.0 * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sgn = jnp.where(b >= 0.0, 1.0, -1.0)
+    q = -0.5 * (b + sgn * sq)
+    safe_q = jnp.where(q == 0.0, 1.0, q)
+    r0 = jnp.minimum(q, c / safe_q)
+    r1 = jnp.maximum(q, c / safe_q)
+    ok = disc >= 0.0
+    ok0 = ok & (r0 >= t_min) & (r0 < t_max)
+    ok1 = ok & (r1 >= t_min) & (r1 < t_max)
+    return jnp.where(ok0, r0, jnp.where(ok1, r1, INF))
 
 
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(B, SCp, eps, self_eps_local, dtype, any_hit=False):
-    use_src = self_eps_local > 0.0
-
-    def kernel(candte_ref, rays_ref, pf_ref, pid_ref, aabb_ref,
-               bt_ref, bn_ref, btr_ref):
+def _make_kernel(B, SCp, Nslab, eps, self_eps_local, dtype, use_src,
+                 any_hit=False):
+    def kernel(te_ref, cand_ref, rays_ref, pf_ref, pid_ref, *outs):
+        if any_hit:
+            (fnd_ref,) = outs
+        else:
+            bp_ref, bc_ref = outs
         s = pl.program_id(1)
 
         @pl.when(s == 0)
         def _():
-            bt_ref[0] = jnp.full((B, 1), INF, dtype)
-            bn_ref[0] = jnp.full((B, 1), -1, jnp.int32)
-            btr_ref[0] = jnp.full((B, 1), -1, jnp.int32)
+            if any_hit:
+                fnd_ref[0] = jnp.zeros((B, 1), jnp.int32)
+            else:
+                bp_ref[0] = jnp.full((B, 1), INF_BITS, jnp.int32)
+                bc_ref[0] = jnp.full((B, 1), -1, jnp.int32)
 
         rays = rays_ref[0]                       # [B, 11] (one DMA per step)
         col = lambda i: rays[:, i:i + 1]         # [B, 1] lane slices
         ox, oy, oz = col(0), col(1), col(2)
         dx, dy, dz = col(3), col(4), col(5)
-        tmin = col(6)
-        tmax = col(7)
-        src = col(8).astype(jnp.int32)           # ids stored as exact floats
-        srct = col(9).astype(jnp.int32)
+        tminb = col(6)
+        tmaxb = col(7)
         act = col(10) > 0.0
-        bt_prev = bt_ref[0]  # carried across slabs (s iterates fastest)
-
-        te_row = candte_ref[0, 0:1, :]  # [1, SCp]; +inf = dead
-        cand_row = candte_ref[0, 1:2, :].astype(jnp.int32)
-        lane_sc = jax.lax.broadcasted_iota(jnp.int32, (1, SCp), 1)
         has_act = jnp.any(act)
-        neg_inf = jnp.asarray(-INF, dtype)
+        if use_src:
+            src_i = col(8).astype(jnp.int32)     # ids stored as exact floats
+            srct_i = col(9).astype(jnp.int32)
 
-        branches = _branches(tmax, eps)
+        # Reciprocal directions for the AABOX slab test, hoisted out of the
+        # chunk loop (3 divides per ray per *block*, not per chunk).
+        def _rcp(dc):
+            tiny = jnp.where(dc < 0.0, -1e-30, 1e-30)
+            return 1.0 / jnp.where(jnp.abs(dc) < 1e-30, tiny, dc)
+        rdx, rdy, rdz = _rcp(dx), _rcp(dy), _rcp(dz)
 
-        def chunk_hits(cand):
-            cid = jax.lax.shift_right_logical(cand, 3)
-            kind = jax.lax.bitwise_and(cand, 7)
-            c0 = cid * C
-            row = lambda r: pf_ref[r, pl.ds(c0, C)].reshape(1, C)
-            m = [row(r) for r in range(12)]
-            lox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
-            loy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
-            loz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
-            ldx = m[0] * dx + m[1] * dy + m[2] * dz
-            ldy = m[4] * dx + m[5] * dy + m[6] * dz
-            ldz = m[8] * dx + m[9] * dy + m[10] * dz
-            node = pid_ref[0, pl.ds(c0, C)].reshape(1, C)
-            tri = pid_ref[1, pl.ds(c0, C)].reshape(1, C)
-            if use_src:
-                is_src = (node == src) & (tri == srct)
-                dn = jnp.sqrt(ldx * ldx + ldy * ldy + ldz * ldz)
-                t_self = self_eps_local / jnp.maximum(dn, 1e-30)
-                t_min_e = jnp.where(is_src, jnp.maximum(tmin, t_self), tmin)
-            else:
-                t_min_e = jnp.broadcast_to(tmin, (B, C))
-            verts = [row(r) for r in range(12, 21)]
-            t = jax.lax.switch(
-                kind, branches,
-                lox, loy, loz, ldx, ldy, ldz, t_min_e, *verts,
-            )
-            t = jnp.where((node >= 0) & act, t, INF)
-            return t, node, tri
-
-        def pick_scalar(values, ci, fill):
-            """values[0, ci] via one-hot masked max (no dynamic indexing)."""
-            return jnp.max(jnp.where(lane_sc == ci, values, fill))
-
-        def cond(state):
-            ci, btl, _, _ = state
-            per_ray = jnp.minimum(jnp.min(btl, axis=1, keepdims=True), bt_prev)
-            if any_hit:
-                # Shadow query: a ray is done at its FIRST in-range hit;
-                # sweep until every active ray found one (or chunks ran out).
-                unfound = per_ray >= tmax
-                ub = jnp.max(jnp.where(act & unfound, tmax, -1.0))
-            else:
-                per_ray = jnp.minimum(per_ray, tmax)
-                ub = jnp.max(jnp.where(act, per_ray, 0.0))
-            te_ci = pick_scalar(te_row, ci, neg_inf)
-            return (ci < SCp) & has_act & (te_ci <= ub) & jnp.isfinite(te_ci)
-
-        def body(state):
-            ci, btl, bnl, btrl = state
-            cand = pick_scalar(cand_row, ci, jnp.int32(0))
-
-            # Per-ray chunk-AABB slab pre-test (~128x cheaper than the
-            # candidate math): the prologue's beam test is conservative over
-            # the whole block and knows nothing about the current best-t;
-            # here each ray tests the exact chunk AABB against its live
-            # [t_min, min(best, t_max)) interval, and the whole chunk is
-            # skipped when no lane needs it — the per-ray analogue of the
-            # kd-tree's t-range clipping descent (kdtree/node.rs:90-110).
-            cid = jax.lax.shift_right_logical(cand, 3)
-            csel = lane_sc == cid
-            arow = lambda r: jnp.sum(jnp.where(csel, aabb_ref[r:r + 1, :], 0.0))
-            ten = jnp.full((B, 1), -INF, dtype)
-            tex = jnp.full((B, 1), INF, dtype)
-            for ax, (o_c, d_c) in enumerate(((ox, dx), (oy, dy), (oz, dz))):
-                tiny = jnp.where(d_c < 0.0, -1e-30, 1e-30)
-                rcp = 1.0 / jnp.where(jnp.abs(d_c) < 1e-30, tiny, d_c)
-                t1 = (arow(ax) - o_c) * rcp
-                t2 = (arow(ax + 4) - o_c) * rcp
-                ten = jnp.maximum(ten, jnp.minimum(t1, t2))
-                tex = jnp.minimum(tex, jnp.maximum(t1, t2))
-            per_best = jnp.minimum(jnp.min(btl, axis=1, keepdims=True), bt_prev)
-            if any_hit:
-                needs = act & (per_best >= tmax)           # still unfound
-                ub = tmax
-            else:
-                needs = act
-                ub = jnp.minimum(per_best, tmax)
-            needs = needs & (jnp.maximum(ten, tmin) <= jnp.minimum(tex, ub))
-
-            def run(args):
-                btl, bnl, btrl = args
-                t, node, tri = chunk_hits(cand)
-                better = t < btl
-                return (
-                    jnp.where(better, t, btl),
-                    jnp.where(better, node, bnl),
-                    jnp.where(better, tri, btrl),
-                )
-
-            btl, bnl, btrl = jax.lax.cond(
-                jnp.any(needs), run, lambda a: a, (btl, bnl, btrl)
-            )
-            return ci + 1, btl, bnl, btrl
-
-        _, btl, bnl, btrl = jax.lax.while_loop(
-            cond, body,
-            (
-                jnp.int32(0),
-                jnp.full((B, C), INF, dtype),
-                jnp.full((B, C), -1, jnp.int32),
-                jnp.full((B, C), -1, jnp.int32),
-            ),
-        )
-
-        # Lane reduction: nearest t; tie -> lowest lane (Morton order).
-        btmin = jnp.min(btl, axis=1, keepdims=True)          # [B,1]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
-        pick = jnp.min(jnp.where(btl <= btmin, lanes, C), axis=1, keepdims=True)
-        sel = lanes == pick
-        bn_red = jnp.sum(jnp.where(sel, bnl, 0), axis=1, keepdims=True)
-        btr_red = jnp.sum(jnp.where(sel, btrl, 0), axis=1, keepdims=True)
+        neg_big = jnp.asarray(-3e38, dtype)
 
-        prev_t = bt_ref[0]                                   # [B,1]
-        better = btmin < prev_t
-        bt_ref[0] = jnp.where(better, btmin, prev_t)
-        bn_ref[0] = jnp.where(better, bn_red, bn_ref[0])
-        btr_ref[0] = jnp.where(better, btr_red, btr_ref[0])
+        def in_range(t, t_min):
+            return (t >= t_min) & (t < tmaxb)
+
+        def chunk_t(cand):
+            """Candidate t [B,C] for one chunk (INF = miss)."""
+            cid = jax.lax.shift_right_logical(cand, KIND_BITS)
+            kind = jax.lax.bitwise_and(cand, (1 << KIND_BITS) - 1)
+            c0 = pl.multiple_of(cid * C, C)
+            row = lambda r: pf_ref[r, pl.ds(c0, C)].reshape(1, C)
+            node = pid_ref[0, pl.ds(c0, C)].reshape(1, C)
+            if use_src:
+                tri = pid_ref[1, pl.ds(c0, C)].reshape(1, C)
+                is_src = (node == src_i) & (tri == srct_i)
+            else:
+                is_src = jnp.zeros((B, C), bool)
+
+            def general_tmin(ld2):
+                """Self-eps raise in local units (config.self_eps_local)."""
+                if not use_src:
+                    return tminb
+                t_self = self_eps_local * jax.lax.rsqrt(
+                    jnp.maximum(ld2, 1e-30))
+                return jnp.where(is_src, jnp.maximum(tminb, t_self), tminb)
+
+            def local_frame():
+                m = [row(r) for r in range(12)]
+                lox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+                loy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+                loz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+                ldx = m[0] * dx + m[1] * dy + m[2] * dz
+                ldy = m[4] * dx + m[5] * dy + m[6] * dz
+                ldz = m[8] * dx + m[9] * dy + m[10] * dz
+                return lox, loy, loz, ldx, ldy, ldz
+
+            # --- general kinds (world->local affine) -----------------------
+            def sphere_g():
+                lox, loy, loz, ldx, ldy, ldz = local_frame()
+                a = ldx * ldx + ldy * ldy + ldz * ldz
+                b = 2.0 * (lox * ldx + loy * ldy + loz * ldz)
+                c = lox * lox + loy * loy + loz * loz - 1.0
+                return _smallest_root(a, b, c, general_tmin(a), tmaxb)
+
+            def plane_g():
+                lox, loy, loz, ldx, ldy, ldz = local_frame()
+                t = _gd(-loy, ldy)
+                px = lox + t * ldx
+                pz = loz + t * ldz
+                r = 0.5 + eps
+                ld2 = ldx * ldx + ldy * ldy + ldz * ldz
+                ok = (in_range(t, general_tmin(ld2))
+                      & (jnp.abs(px) <= r) & (jnp.abs(pz) <= r))
+                return jnp.where(ok, t, INF)
+
+            def cube_g():
+                lox, loy, loz, ldx, ldy, ldz = local_frame()
+                r = 0.5 + eps
+                o3 = (lox, loy, loz)
+                d3 = (ldx, ldy, ldz)
+                ld2 = ldx * ldx + ldy * ldy + ldz * ldz
+                t_min_e = general_tmin(ld2)
+                best = jnp.full((B, C), INF, dtype)
+                # FACES order of cube.rs:46-65 (sign-folded plane solve).
+                for axis, sign in ((0, 0.5), (0, -0.5), (1, 0.5), (1, -0.5),
+                                   (2, 0.5), (2, -0.5)):
+                    sg = 1.0 if sign > 0 else -1.0
+                    t = _gd(-(o3[axis] - sign) * sg, d3[axis] * sg)
+                    px = lox + t * ldx
+                    py = loy + t * ldy
+                    pz = loz + t * ldz
+                    contains = ((jnp.abs(px) <= r) & (jnp.abs(py) <= r)
+                                & (jnp.abs(pz) <= r))
+                    ok = in_range(t, t_min_e) & contains & (t < best)
+                    best = jnp.where(ok, t, best)
+                return best
+
+            def cylinder_g():
+                lox, loy, loz, ldx, ldy, ldz = local_frame()
+                R2 = 0.25
+                a = ldx * ldx + ldz * ldz
+                b = 2.0 * (lox * ldx + loz * ldz)
+                c = lox * lox + loz * loz - R2
+                ld2 = a + ldy * ldy
+                t_min_e = general_tmin(ld2)
+                t_body = _smallest_root(a, b, c, t_min_e, tmaxb)
+                y = loy + t_body * ldy
+                best = jnp.where(~(y > 0.5) & ~(y < -0.5), t_body, INF)
+                for h in (0.5, -0.5):
+                    t = _gd(h - loy, ldy)
+                    px = lox + t * ldx
+                    pz = loz + t * ldz
+                    ok = in_range(t, t_min_e) & ~(px * px + pz * pz > R2)
+                    t = jnp.where(ok, t, INF)
+                    best = jnp.where(t < best, t, best)
+                return best
+
+            def cone_g():
+                lox, loy, loz, ldx, ldy, ldz = local_frame()
+                H = 1.0
+                h2 = H * H
+                r2 = 0.25
+                a = 4.0 * ldy * ldy * r2 - 4.0 * h2 * (ldx * ldx + ldz * ldz)
+                b = (-8.0 * h2 * (ldx * lox + ldz * loz)
+                     - 4.0 * r2 * (ldy * H - 2.0 * ldy * loy))
+                c = (-4.0 * h2 * (lox * lox + loz * loz)
+                     + r2 * (h2 - 4.0 * H * loy + 4.0 * loy * loy))
+                ld2 = ldx * ldx + ldy * ldy + ldz * ldz
+                t_min_e = general_tmin(ld2)
+                t_body = _smallest_root(a, b, c, t_min_e, tmaxb)
+                y = loy + t_body * ldy
+                t_body = jnp.where(~(y > 0.5) & ~(y < -0.5), t_body, INF)
+                t_cap = _gd(-0.5 - loy, ldy)
+                px = lox + t_cap * ldx
+                pz = loz + t_cap * ldz
+                okc = in_range(t_cap, t_min_e) & ~(px * px + pz * pz > r2)
+                t_cap = jnp.where(okc, t_cap, INF)
+                return jnp.where(t_cap < t_body, t_cap, t_body)
+
+            def torus_g():
+                # Quartic torus (primitive/torus.rs:56-110); radii in rows
+                # 12..13.  Ferrari + Newton polish, written without stacked
+                # axes for Mosaic (see math3d.quartic_roots).
+                lox, loy, loz, ldx, ldy, ldz = local_frame()
+                c_r, a_r = row(12), row(13)
+                dd = ldx * ldx + ldy * ldy + ldz * ldz
+                pp = lox * lox + loy * loy + loz * loz
+                dp = ldx * lox + ldy * loy + ldz * loz
+                t_min_e = general_tmin(dd)
+                a2 = a_r * a_r
+                c2 = c_r * c_r
+                k = pp - (a2 + c2)
+                A = dd * dd
+                Bq = 4.0 * dd * dp
+                C4 = 2.0 * dd * k + 4.0 * dp * dp + 4.0 * c2 * ldy * ldy
+                D = 4.0 * k * dp + 8.0 * c2 * loy * ldy
+                E = k * k - 4.0 * c2 * (a2 - loy * loy)
+
+                safe_A = jnp.where(A == 0.0, 1.0, A)
+                b = Bq / safe_A
+                c = C4 / safe_A
+                d_ = D / safe_A
+                e = E / safe_A
+                b2 = b * b
+                p = c - 3.0 * b2 / 8.0
+                q = d_ - b * c / 2.0 + b2 * b / 8.0
+                r = e - b * d_ / 4.0 + b2 * c / 16.0 - 3.0 * b2 * b2 / 256.0
+
+                # Resolvent cubic z^3 + 2p z^2 + (p^2-4r) z - q^2.
+                a2c = 2.0 * p
+                a1c = p * p - 4.0 * r
+                a0c = -q * q
+                pc = a1c - a2c * a2c / 3.0
+                qc = 2.0 * a2c ** 3 / 27.0 - a2c * a1c / 3.0 + a0c
+                half_q = qc / 2.0
+                third_p = pc / 3.0
+                disc = half_q * half_q + third_p ** 3
+                safe_tp = jnp.minimum(third_p, -1e-30)
+                mm = 2.0 * jnp.sqrt(-safe_tp)
+                cos_arg = jnp.clip(
+                    3.0 * qc / (pc * jnp.where(pc == 0.0, 1.0, mm)), -1.0, 1.0
+                )
+                phi = _acos(cos_arg)
+                z_trig = mm * jnp.cos(phi / 3.0) - a2c / 3.0
+                sqd = jnp.sqrt(jnp.maximum(disc, 0.0))
+                u_c = _cbrt(-half_q + sqd)
+                v_c = _cbrt(-half_q - sqd)
+                z_card = u_c + v_c - a2c / 3.0
+                z = jnp.where(disc > 0.0, z_card, z_trig)
+                for _ in range(2):  # polish resolvent (Cardano cancellation)
+                    fz = ((z + a2c) * z + a1c) * z + a0c
+                    fpz = (3.0 * z + 2.0 * a2c) * z + a1c
+                    z = z - fz / jnp.where(fpz == 0.0, 1.0, fpz)
+                z = jnp.maximum(z, 0.0)
+
+                sz = jnp.sqrt(z)
+                biquad = z < 1e-6 * (1.0 + jnp.abs(p))
+                s_safe = jnp.where(biquad, 1.0, sz)
+                half = (p + z) / 2.0
+                shift = q / (2.0 * s_safe)
+                c1 = half - shift
+                c2q = half + shift
+
+                d1 = sz * sz - 4.0 * c1
+                ok12 = d1 >= 0.0
+                sq1 = jnp.sqrt(jnp.maximum(d1, 0.0))
+                u1 = (-sz - sq1) / 2.0
+                u2 = (-sz + sq1) / 2.0
+                d2 = sz * sz - 4.0 * c2q
+                ok34 = d2 >= 0.0
+                sq2 = jnp.sqrt(jnp.maximum(d2, 0.0))
+                u3 = (sz - sq2) / 2.0
+                u4 = (sz + sq2) / 2.0
+
+                ydisc = p * p - 4.0 * r
+                okb = ydisc >= 0.0
+                ysq = jnp.sqrt(jnp.maximum(ydisc, 0.0))
+                y1 = (-p - ysq) / 2.0
+                y2 = (-p + ysq) / 2.0
+                okb1 = okb & (y1 >= 0.0)
+                okb2 = okb & (y2 >= 0.0)
+                r1s = jnp.sqrt(jnp.maximum(y1, 0.0))
+                r2s = jnp.sqrt(jnp.maximum(y2, 0.0))
+
+                # NB: bool selects lower as 1-bit select_n, which Mosaic
+                # rejects — use logic ops.
+                sel_ok = lambda okb_, okf: (biquad & okb_) | (~biquad & okf)
+                best = jnp.full((B, C), INF, dtype)
+                for u, ok in (
+                    (jnp.where(biquad, -r1s, u1), sel_ok(okb1, ok12)),
+                    (jnp.where(biquad, r1s, u2), sel_ok(okb1, ok12)),
+                    (jnp.where(biquad, -r2s, u3), sel_ok(okb2, ok34)),
+                    (jnp.where(biquad, r2s, u4), sel_ok(okb2, ok34)),
+                ):
+                    t = u - b / 4.0
+                    for _ in range(3):  # Newton polish (float32 robustness)
+                        fv = (((A * t + Bq) * t + C4) * t + D) * t + E
+                        fp = ((4.0 * A * t + 3.0 * Bq) * t + 2.0 * C4) * t + D
+                        t = t - fv / jnp.where(fp == 0.0, 1.0, fp)
+                    valid = ok & in_range(t, t_min_e)
+                    t = jnp.where(valid, t, INF)
+                    best = jnp.where(t < best, t, best)
+                return best
+
+            # --- specialized kinds (transform baked out at pack time) ------
+            def tri_w():
+                # Shirley/Cramer (triangle.rs:39-80) on world-space
+                # vertices: rows 0..2 = a, 3..5 = e1, 6..8 = e2.
+                ax_, ay_, az_ = row(0), row(1), row(2)
+                A, B_, C_ = row(3), row(4), row(5)
+                D, E, F = row(6), row(7), row(8)
+                G, H, I = dx, dy, dz
+                J, K, L = ax_ - ox, ay_ - oy, az_ - oz
+                ei_hf = E * I - H * F
+                gf_di = G * F - D * I
+                dh_eg = D * H - E * G
+                M = A * ei_hf + B_ * gf_di + C_ * dh_eg
+                iM = 1.0 / jnp.where(M == 0.0, 1.0, M)
+                ak_jb = A * K - J * B_
+                jc_al = J * C_ - A * L
+                bl_ck = B_ * L - C_ * K
+                t = -(F * ak_jb + E * jc_al + D * bl_ck) * iM
+                gamma = (I * ak_jb + H * jc_al + G * bl_ck) * iM
+                beta = (J * ei_hf + K * gf_di + L * dh_eg) * iM
+                ok = (
+                    (M != 0.0)
+                    & in_range(t, tminb)
+                    & ~(gamma < 0.0) & ~(gamma > 1.0)
+                    & ~(beta < 0.0) & ~(beta > 1.0 - gamma)
+                )
+                if use_src:
+                    # A ray leaving a planar triangle never legitimately
+                    # re-hits it: exclude the source pair outright.
+                    ok = ok & ~is_src
+                return jnp.where(ok, t, INF)
+
+            def sphere_w():
+                # World sphere (uniform-similarity nodes): roots of
+                # t^2 + 2 (o-c).d t + |o-c|^2 - r^2 (|d| == 1).
+                ocx = ox - row(0)
+                ocy = oy - row(1)
+                ocz = oz - row(2)
+                b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+                c = ocx * ocx + ocy * ocy + ocz * ocz - row(3)
+                if use_src:
+                    t_self = self_eps_local * row(4)
+                    t_min_e = jnp.where(
+                        is_src, jnp.maximum(tminb, t_self), tminb)
+                else:
+                    t_min_e = tminb
+                return _unit_sphere_root(b, c, t_min_e, tmaxb)
+
+            def aabox():
+                # Slab test on the pack-time-inflated world box: entry face
+                # if in range, else exit face — the accepted-hit semantics
+                # of the 6-face fold (cube.rs:70-82).
+                t1x = (row(0) - ox) * rdx
+                t2x = (row(3) - ox) * rdx
+                t1y = (row(1) - oy) * rdy
+                t2y = (row(4) - oy) * rdy
+                t1z = (row(2) - oz) * rdz
+                t2z = (row(5) - oz) * rdz
+                ten = jnp.maximum(jnp.maximum(
+                    jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                    jnp.minimum(t1z, t2z))
+                tex = jnp.minimum(jnp.minimum(
+                    jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                    jnp.maximum(t1z, t2z))
+                if use_src:
+                    dlx = dx * row(6)
+                    dly = dy * row(7)
+                    dlz = dz * row(8)
+                    ld2 = dlx * dlx + dly * dly + dlz * dlz
+                    t_self = self_eps_local * jax.lax.rsqrt(
+                        jnp.maximum(ld2, 1e-30))
+                    t_min_e = jnp.where(
+                        is_src, jnp.maximum(tminb, t_self), tminb)
+                else:
+                    t_min_e = tminb
+                t = jnp.where(ten >= t_min_e, ten, tex)
+                ok = (ten <= tex) & in_range(t, t_min_e)
+                return jnp.where(ok, t, INF)
+
+            branches = (sphere_g, plane_g, cube_g, cylinder_g, cone_g,
+                        tri_w, torus_g, sphere_w, aabox)
+            t = jax.lax.switch(kind, branches)
+            return jnp.where((node >= 0) & act, t, INF)
+
+        def read_te(ci):
+            return te_ref[0, 0, jnp.minimum(ci, SCp - 1)]
+
+        if any_hit:
+            def cond(state):
+                ci, fnd = state
+                pending = act & (fnd == 0)
+                ub = jnp.max(jnp.where(pending, tmaxb, neg_big))
+                tec = read_te(ci)
+                return ((ci < SCp) & jnp.any(pending)
+                        & (tec <= ub) & (tec < INF))
+
+            def body(state):
+                ci, fnd = state
+                cand = cand_ref[0, 0, ci]
+                t = chunk_t(cand)
+                hit_any = jnp.min(t, axis=1, keepdims=True) < INF
+                return ci + 1, jnp.maximum(fnd, hit_any.astype(jnp.int32))
+
+            _, fnd = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), fnd_ref[0]))
+            fnd_ref[0] = fnd
+        else:
+            def cond(state):
+                ci, bp, _ = state
+                # Safe per-ray upper bound on the true best t: the packed
+                # key rounds t's low 7 mantissa bits down, so | 127 rounds
+                # up; clamp misses back to exactly +inf (else NaN bits).
+                t_up = pltpu.bitcast(
+                    jnp.minimum(jax.lax.bitwise_or(bp, 127), INF_BITS),
+                    jnp.float32)
+                ub = jnp.max(jnp.where(
+                    act, jnp.minimum(t_up, tmaxb), neg_big))
+                tec = read_te(ci)
+                return (ci < SCp) & has_act & (tec <= ub) & (tec < INF)
+
+            def body(state):
+                ci, bp, bc = state
+                cand = cand_ref[0, 0, ci]
+                t = chunk_t(cand)
+                tb = pltpu.bitcast(t, jnp.int32)
+                packed = jax.lax.bitwise_or(
+                    jax.lax.bitwise_and(tb, -128), lanes)
+                pmin = jnp.min(packed, axis=1, keepdims=True)      # [B,1]
+                better = pmin < bp
+                bp = jnp.where(better, pmin, bp)
+                bc = jnp.where(better, s * SCp + ci, bc)
+                return ci + 1, bp, bc
+
+            _, bp, bc = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), bp_ref[0], bc_ref[0]))
+            bp_ref[0] = bp
+            bc_ref[0] = bc
 
     return kernel
 
 
 # ---------------------------------------------------------------------------
-# Wrapper: XLA cull prologue + pallas_call
+# Wrapper: XLA cull prologue + pallas_call + exact-t epilogue
 # ---------------------------------------------------------------------------
 
 def intersect_scene_pallas(
@@ -487,10 +548,7 @@ def intersect_scene_pallas(
 ) -> Hit:
     """Nearest hit via the Pallas sweep; same contract as intersect_scene.
 
-    any_hit=True answers occlusion queries (shadow rays,
-    material.rs:174-179): each ray stops at its first in-range hit, so the
-    reported t/node are *some* hit, not the nearest — only `.hit` is
-    meaningful."""
+    any_hit=True answers occlusion queries: only `.hit` is meaningful."""
     pk = st.packed
     B = cfg.pallas_block
     assert B % 8 == 0
@@ -500,9 +558,10 @@ def intersect_scene_pallas(
     R = NB * B
 
     t_min = jnp.broadcast_to(jnp.asarray(t_min, dtype), (R0,))
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, dtype), (R0,))
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, dtype), (R0,))
     if active is None:
         active = jnp.ones((R0,), bool)
+    use_src = src_node is not None and cfg.self_eps_local > 0.0
     if src_node is None:
         src_node = jnp.full((R0,), -1, jnp.int32)
     if src_tri is None:
@@ -512,7 +571,7 @@ def intersect_scene_pallas(
     db = _pad_to(d, R, 1.0).reshape(NB, B, 3)
     actb = _pad_to(active, R, False).reshape(NB, B)
     tminb = _pad_to(t_min, R, 1.0).reshape(NB, B)
-    tmaxb = _pad_to(t_max, R, 0.0).reshape(NB, B)
+    tmaxb = _pad_to(t_max_b, R, 0.0).reshape(NB, B)
     srcb = _pad_to(src_node, R, -1).reshape(NB, B)
     srctb = _pad_to(src_tri, R, -1).reshape(NB, B)
 
@@ -544,24 +603,6 @@ def intersect_scene_pallas(
         pf = jnp.pad(pf, ((0, 0), (0, extra * C)))
         pid = jnp.pad(pid, ((0, 0), (0, extra * C)), constant_values=-1)
 
-    # Per-chunk AABB table for the kernel's per-ray slab pre-test, inflated
-    # by a small absolute+relative epsilon so float asymmetry between the
-    # cull and the candidate math can never reject a true hit.  Rows:
-    # 0..2 = min xyz, 4..6 = max xyz (3, 7 pad for sublane alignment);
-    # padding chunks get an empty box (min > max).
-    cmin = pk.chunk_min - (1e-5 + 1e-5 * jnp.abs(pk.chunk_min))
-    cmax = pk.chunk_max + (1e-5 + 1e-5 * jnp.abs(pk.chunk_max))
-    if Ncp > Nc:
-        extra = Ncp - Nc
-        cmin = jnp.pad(cmin, ((0, extra), (0, 0)), constant_values=1.0)
-        cmax = jnp.pad(cmax, ((0, extra), (0, 0)), constant_values=0.0)
-    zero_row = jnp.zeros((Ncp,), dtype)
-    aabb = jnp.stack(
-        [cmin[:, 0], cmin[:, 1], cmin[:, 2], zero_row,
-         cmax[:, 0], cmax[:, 1], cmax[:, 2], zero_row],
-        axis=0,
-    )                                                   # [8, Ncp]
-
     te = t_enter.reshape(NB, Nslab, SC)
     order = jnp.argsort(te, axis=2).astype(jnp.int32)
     te_s = jnp.take_along_axis(te, order, axis=2)
@@ -569,17 +610,14 @@ def intersect_scene_pallas(
         kind_pad.reshape(Nslab, SC)[None], (NB, Nslab, SC)
     )
     kind_sorted = jnp.take_along_axis(kinds_slab, order, axis=2)
-    cand = order * 8 + kind_sorted
+    cand = order * (1 << KIND_BITS) + kind_sorted      # [NB, Nslab, SC]
 
     SCp = SC
-    # One packed (entry-t, candidate-id) array and one packed ray array per
-    # block: a handful of DMAs per grid step instead of 15 (small-DMA issue
-    # latency dominated all-dead rounds).
-    candte = jnp.stack(
-        [te_s.reshape(NB * Nslab, SCp),
-         cand.reshape(NB * Nslab, SCp).astype(dtype)],
-        axis=1,
-    )                                                   # [NBs, 2, SCp]
+    # 3-D with a unit middle axis: Mosaic requires a block's last two dims
+    # to be (8,128)-divisible or equal to the array's — (1, SCp) blocks of a
+    # [NB*Nslab, SCp] array violate that; [.., 1, SCp] blocks satisfy it.
+    te_smem = te_s.reshape(NB * Nslab, 1, SCp)
+    cand_smem = cand.reshape(NB * Nslab, 1, SCp)
     rays_packed = jnp.stack(
         [
             ob[..., 0], ob[..., 1], ob[..., 2],
@@ -591,20 +629,19 @@ def intersect_scene_pallas(
         axis=-1,
     )                                                   # [NB, B, 11]
 
-    kernel = _make_kernel(B, SCp, cfg.epsilon, cfg.self_eps_local, dtype,
-                          any_hit=any_hit)
+    kernel = _make_kernel(B, SCp, Nslab, cfg.epsilon, cfg.self_eps_local,
+                          dtype, use_src, any_hit=any_hit)
 
     rays_spec = pl.BlockSpec((1, B, 11), lambda b, s: (b, 0, 0),
                              memory_space=pltpu.VMEM)
-    candte_spec = pl.BlockSpec((1, 2, SCp),
-                               lambda b, s: (b * Nslab + s, 0, 0),
-                               memory_space=pltpu.VMEM)
+    te_spec = pl.BlockSpec((1, 1, SCp), lambda b, s: (b * Nslab + s, 0, 0),
+                           memory_space=pltpu.SMEM)
+    cand_spec = pl.BlockSpec((1, 1, SCp), lambda b, s: (b * Nslab + s, 0, 0),
+                             memory_space=pltpu.SMEM)
     pf_spec = pl.BlockSpec((21, SC * C), lambda b, s: (0, s),
                            memory_space=pltpu.VMEM)
     pid_spec = pl.BlockSpec((2, SC * C), lambda b, s: (0, s),
                             memory_space=pltpu.VMEM)
-    aabb_spec = pl.BlockSpec((8, SC), lambda b, s: (0, s),
-                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, B, 1), lambda b, s: (b, 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -614,22 +651,54 @@ def intersect_scene_pallas(
         else jax.default_backend() != "tpu"
     )
 
-    bt, bn, btr = pl.pallas_call(
+    if any_hit:
+        out_shape = [jax.ShapeDtypeStruct((NB, B, 1), jnp.int32)]
+        out_specs = [out_spec]
+    else:
+        out_shape = [
+            jax.ShapeDtypeStruct((NB, B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((NB, B, 1), jnp.int32),
+        ]
+        out_specs = [out_spec, out_spec]
+
+    outs = pl.pallas_call(
         kernel,
         grid=(NB, Nslab),
-        in_specs=[candte_spec, rays_spec, pf_spec, pid_spec, aabb_spec],
-        out_specs=[out_spec, out_spec, out_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((NB, B, 1), dtype),
-            jax.ShapeDtypeStruct((NB, B, 1), jnp.int32),
-            jax.ShapeDtypeStruct((NB, B, 1), jnp.int32),
-        ],
+        in_specs=[te_spec, cand_spec, rays_spec, pf_spec, pid_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(candte, rays_packed, pf, pid, aabb)
+    )(te_smem, cand_smem, rays_packed, pf, pid)
 
-    bt = bt.reshape(R)[:R0]
-    bn = bn.reshape(R)[:R0]
-    btr = btr.reshape(R)[:R0]
-    hit = jnp.isfinite(bt) & active
-    return Hit(t=bt, node=jnp.where(hit, bn, -1),
-               tri=jnp.where(hit, btr, -1), hit=hit)
+    if any_hit:
+        fnd = outs[0].reshape(R)[:R0]
+        hit = (fnd > 0) & active
+        neg = jnp.full((R0,), -1, jnp.int32)
+        return Hit(t=jnp.where(hit, 0.0, INF), node=neg, tri=neg, hit=hit)
+
+    bp = outs[0].reshape(R)[:R0]
+    bc = outs[1].reshape(R)[:R0]
+    hit = (bp < INF_BITS) & active
+
+    # Decode (sorted-candidate position, lane) -> packed column -> ids
+    # (flat 1-D gathers — never materialize [R, candidates]).
+    cand_flat = cand.reshape(NB * Nslab * SCp)
+    block = jnp.arange(R0, dtype=jnp.int32) // B
+    sel = cand_flat[block * (Nslab * SCp) + jnp.maximum(bc, 0)]
+    lane = jax.lax.bitwise_and(bp, 127)
+    colid = jax.lax.shift_right_logical(sel, KIND_BITS) * C + lane
+    colid = jnp.clip(colid, 0, pid.shape[1] - 1)
+    node = jnp.where(hit, pid[0, colid], -1)
+    tri = jnp.where(hit, pid[1, colid], -1)
+
+    # Exact (and differentiable-by-construction) t for the winners; the
+    # quantized key (low mantissa bits cleared) is only the fallback for
+    # roots lost to float asymmetry between kernel and recompute.
+    t_q = jax.lax.bitcast_convert_type(
+        jax.lax.bitwise_and(bp, -128), jnp.float32)
+    t_re = winner_t(o, d, node, tri, st, cfg, t_min, t_max,
+                    src_node=src_node if use_src else None,
+                    src_tri=src_tri if use_src else None)
+    t = jnp.where(hit & jnp.isfinite(t_re), t_re,
+                  jnp.where(hit, t_q, INF))
+    return Hit(t=t, node=node, tri=tri, hit=hit)

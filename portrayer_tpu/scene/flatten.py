@@ -30,6 +30,21 @@ from .texture import Texture, ImageTexture, NormalMap
 SPHERE, PLANE, CUBE, CYLINDER, CONE, MESH, TORUS = range(7)
 KIND_NAMES = ("sphere", "plane", "cube", "cylinder", "cone", "mesh", "torus")
 
+# Specialized *packed* kinds for the Pallas sweep (node kinds stay 0..6;
+# these only appear in PackedPrims.chunk_kind / candidate ids).  They carry
+# precomputed world-space parameters so the kernel skips the 36-op
+# world->local affine transform per (ray, prim):
+#   SPHERE_W — spheres under uniform-similarity transforms: the local unit
+#     sphere is a world sphere (center, radius); the quadratic has a=1 for
+#     normalized directions.
+#   AABOX — cubes whose world edges are axis-aligned (the common case: the
+#     reference scenes build walls/floors with scaled()+translated() only):
+#     one slab test replaces the 6-face plane fold (cube.rs:70-82) with
+#     identical accepted-hit semantics (entry face in range, else exit).
+PACKED_SPHERE_W = 7
+PACKED_AABOX = 8
+PACKED_BASE_KIND = {PACKED_SPHERE_W: SPHERE, PACKED_AABOX: CUBE}
+
 # Packed-table chunk width: primitives are laid out in lanes of the VPU
 # (8x128); one chunk = one 128-lane sweep step in the Pallas kernel.
 PACK_CHUNK = 128
@@ -47,9 +62,18 @@ class PackedPrims:
     (src/kdtree/leaf.rs:89-231): spatial clustering into fixed-width SIMD
     leaves instead of a divergent tree descent.
 
-    Rows of `f32` (21 x NCOL):
-      0..11   world->local affine (3x4, row-major)
-      12..20  triangle local-space vertices a, b, c (zeros for analytic)
+    Rows of `f32` (21 x NCOL), by packed kind:
+      general analytic (SPHERE/PLANE/CUBE/CYLINDER/CONE/TORUS):
+        0..11  world->local affine (3x4, row-major); 12..13 torus radii
+      MESH (world-space triangles — the instance transform is baked into
+      the vertices at pack time, so the kernel needs no per-pair affine):
+        0..2  vertex a;  3..5  e1 = a - b;  6..8  e2 = a - c
+      PACKED_SPHERE_W:
+        0..2 world center; 3 radius^2; 4 scale s (for the self-eps raise)
+      PACKED_AABOX:
+        0..2 world box min; 3..5 box max (both inflated by the containment
+        slack eps*extent, cube.rs:70-82's 0.5+EPSILON in world units);
+        6..8 per-world-axis inverse scale (for the self-eps raise)
     Rows of `ids` (2 x NCOL): node id, triangle id (-1 = padding/analytic).
     """
 
@@ -92,9 +116,38 @@ def _morton_order(amin: np.ndarray, amax: np.ndarray) -> np.ndarray:
     return np.argsort(key, kind="stable")
 
 
+def _uniform_similarity(t3):
+    """[N] bool: forward 3x3 is rotation x uniform scale; and [N] scale."""
+    M = t3[:, :, :3]
+    G = np.einsum("nij,nkj->nik", M, M)               # M M^T
+    s2 = np.einsum("nii->n", G) / 3.0
+    dev = np.abs(G - s2[:, None, None] * np.eye(3)).max(axis=(1, 2))
+    return dev <= 1e-7 * np.maximum(s2, 1e-30), np.sqrt(np.maximum(s2, 0.0))
+
+
+def _axis_aligned(t3):
+    """[N] bool: forward 3x3 is signed-permutation x per-axis scale; and
+    [N,3] per-world-axis scale (row max-abs).
+
+    Extremely anisotropic boxes (aspect > 128) are excluded: the local
+    6-face fold amplifies f32 ray error by the inverse thin-axis scale, so
+    the world-space slab and the local fold disagree on grazing rays there
+    — such boxes stay on the (flat-path-identical) general cube branch."""
+    A = np.abs(t3[:, :, :3])
+    rmax = A.max(axis=2)
+    cmax = A.max(axis=1)
+    ok = (
+        ((A.sum(axis=2) - rmax) <= 1e-7 * np.maximum(rmax, 1e-30)).all(axis=1)
+        & ((A.sum(axis=1) - cmax) <= 1e-7 * np.maximum(cmax, 1e-30)).all(axis=1)
+        & (rmax.max(axis=1) <= 128.0 * np.maximum(rmax.min(axis=1), 1e-30))
+    )
+    return ok, rmax
+
+
 def _build_packed(
-    groups, inv, aabb_min, aabb_max,
-    pair_node, pair_tri, pair_amin, pair_amax, tri_abc, prim_params,
+    groups, trans, inv, aabb_min, aabb_max,
+    pair_node, pair_tri, pair_amin, pair_amax, pair_world,
+    tri_abc, prim_params,
 ):
     """Assemble PackedPrims (numpy) from the flat node/pair tables."""
     f_cols: List[np.ndarray] = []   # per-kind [k,21]
@@ -102,6 +155,15 @@ def _build_packed(
     a_cols_min: List[np.ndarray] = []
     a_cols_max: List[np.ndarray] = []
     kinds: List[int] = []
+
+    def inflate(amin, amax):
+        """Scale-aware conservative chunk-AABB inflation: the candidate
+        tests accept hits up to (0.5 + EPSILON) in *local* units, so the
+        cull margin must grow with the node transform (extent-relative),
+        plus a position-relative term for f32 rounding of the corners."""
+        ext = amax - amin
+        pad = 1e-5 * ext + 1e-6 * np.maximum(np.abs(amin), np.abs(amax)) + 1e-7
+        return amin - pad, amax + pad
 
     def add_group(kind, f, ids, amin, amax):
         k = f.shape[0]
@@ -113,9 +175,20 @@ def _build_packed(
             amax = np.concatenate([amax, np.full((pad, 3), -1e30)], axis=0)
         f_cols.append(f)
         id_cols.append(ids)
+        amin, amax = inflate(amin, amax)
         a_cols_min.append(amin)
         a_cols_max.append(amax)
         kinds.extend([kind] * ((k + pad) // PACK_CHUNK))
+
+    def add_general(kind, order):
+        count = order.shape[0]
+        if count == 0:
+            return
+        extra = np.zeros((count, 9))
+        extra[:, 0:2] = prim_params[order]  # torus radii in rows 12..13
+        f = np.concatenate([inv[order].reshape(-1, 12), extra], axis=1)
+        ids = np.stack([order, np.full(count, -1)], axis=1)
+        add_group(kind, f, ids, aabb_min[order], aabb_max[order])
 
     for kind, start, count in groups:
         if count == 0:
@@ -130,21 +203,52 @@ def _build_packed(
             amax = np.asarray(pair_amax)
             order = _morton_order(amin, amax)
             pn, pt = pn[order], pt[order]
+            # World-space vertices: a, e1 = a-b, e2 = a-c (Shirley's
+            # "abc" columns, triangle.rs:39-80) — the instance transform
+            # is baked in, saving the per-(ray,pair) affine in the kernel.
+            wv = pair_world[order]                     # [k,3,3]
+            a = wv[:, 0]
             f = np.concatenate(
-                [inv[pn].reshape(-1, 12), tri_abc[pt].reshape(-1, 9)], axis=1
+                [a, a - wv[:, 1], a - wv[:, 2], np.zeros((len(pn), 12))],
+                axis=1,
             )
             ids = np.stack([pn, pt], axis=1)
             add_group(MESH, f, ids, amin[order], amax[order])
         else:
             idx = np.arange(start, start + count)
             order = idx[_morton_order(aabb_min[idx], aabb_max[idx])]
-            extra = np.zeros((count, 9))
-            extra[:, 0:2] = prim_params[order]  # torus radii in rows 12..13
-            f = np.concatenate(
-                [inv[order].reshape(-1, 12), extra], axis=1
-            )
-            ids = np.stack([order, np.full(count, -1)], axis=1)
-            add_group(kind, f, ids, aabb_min[order], aabb_max[order])
+            if kind == SPHERE:
+                uni, s = _uniform_similarity(trans)
+                sel = uni[order]
+                spec = order[sel]
+                if spec.size:
+                    f = np.zeros((spec.size, 21))
+                    f[:, 0:3] = trans[spec][:, :, 3]   # world center
+                    f[:, 3] = s[spec] ** 2             # radius^2
+                    f[:, 4] = s[spec]                  # scale (self-eps)
+                    ids = np.stack([spec, np.full(spec.size, -1)], axis=1)
+                    add_group(PACKED_SPHERE_W, f, ids,
+                              aabb_min[spec], aabb_max[spec])
+                add_general(SPHERE, order[~sel])
+            elif kind == CUBE:
+                aa, srow = _axis_aligned(trans)
+                sel = aa[order]
+                spec = order[sel]
+                if spec.size:
+                    # Containment slack: local 0.5+EPSILON maps to a world
+                    # pad of EPSILON * extent per axis (unit cube side 1).
+                    ext = aabb_max[spec] - aabb_min[spec]
+                    pad = 1e-5 * ext
+                    f = np.zeros((spec.size, 21))
+                    f[:, 0:3] = aabb_min[spec] - pad
+                    f[:, 3:6] = aabb_max[spec] + pad
+                    f[:, 6:9] = 1.0 / np.maximum(srow[spec], 1e-30)
+                    ids = np.stack([spec, np.full(spec.size, -1)], axis=1)
+                    add_group(PACKED_AABOX, f, ids,
+                              aabb_min[spec], aabb_max[spec])
+                add_general(CUBE, order[~sel])
+            else:
+                add_general(kind, order)
 
     if not kinds:  # empty scene: one all-padding chunk
         kinds = [SPHERE]
@@ -543,11 +647,13 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
         world = np.einsum("pij,pkj->pki", rot, verts3) + off[:, None, :]
         pair_amin = world.min(axis=1)
         pair_amax = world.max(axis=1)
+        pair_world = world
     else:
         pair_node = np.zeros((0,), np.int64)
         pair_tri = np.zeros((0,), np.int64)
         pair_amin = np.zeros((0, 3))
         pair_amax = np.zeros((0, 3))
+        pair_world = np.zeros((0, 3, 3))
 
     # Lights.
     L = max(len(scene.lights), 1)
@@ -586,8 +692,9 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
         [tri["tri_a"], tri["tri_b"], tri["tri_c"]], axis=1
     )
     pk_f32, pk_ids, pk_kind, pk_cmin, pk_cmax, pk_nc = _build_packed(
-        groups, inv, aabb_min, aabb_max,
-        pair_node, pair_tri, pair_amin, pair_amax, tri_abc, prim_params,
+        groups, trans, inv, aabb_min, aabb_max,
+        pair_node, pair_tri, pair_amin, pair_amax, pair_world,
+        tri_abc, prim_params,
     )
 
     f = lambda x: jnp.asarray(x, dtype=dtype)
