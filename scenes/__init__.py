@@ -35,7 +35,7 @@ _REGISTRY = {
     "glossy-reflection": ("scenes.glossy_reflection", "07_glossy-reflection.png"),
     "soft-shadows": ("scenes.soft_shadows", "08_soft-shadows.png"),
     "entering-the-mirror-dimension": ("scenes.mirror_dimension", "entering-the-mirror-dimension.png"),
-    "big-scene": ("scenes.big_scene", None),
+    "big-scene": ("scenes.big_scene", "09a_kdtree.png"),
     "instance": ("scenes.instance", None),
     "hier": ("scenes.hier", None),
     "nonhier": ("scenes.nonhier", None),
@@ -49,7 +49,9 @@ _REGISTRY = {
     "graphics-poster": ("scenes.graphics_poster", None),
     "graphics-temple": ("scenes.graphics_temple", None),
     "graphics-castle": ("scenes.graphics_castle", None),
-    "robot-alarm-clock": ("scenes.robot_alarm_clock", "10_robot-alarm-clock.png"),
+    # The checked-in example code builds the *green*-bodied variant
+    # (examples/robot-alarm-clock.rs:101 has the green diffuse active).
+    "robot-alarm-clock": ("scenes.robot_alarm_clock", "10_robot-alarm-clock_green.png"),
     # Extras beyond the reference's examples:
     # the torus exists in the reference only as unregistered dead code.
     "torus-showcase": ("scenes.torus_showcase", None),

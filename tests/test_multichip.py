@@ -89,3 +89,38 @@ def test_render_tiles_sharded_matches_single_device():
     # Different shard count folds different per-shard keys into sampling,
     # so compare with a sampling-noise tolerance.
     assert np.abs(img8 - img1).mean() < 0.05
+
+
+def test_distributed_single_process_noop_and_global_mesh():
+    """initialize() with nothing configured is a no-op; global_mesh spans
+    all (virtual) devices."""
+    from portrayer_tpu.parallel import initialize, global_mesh
+
+    assert initialize() is False  # single-process: no multi-host runtime
+    mesh = global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+
+
+def test_render_frame_distributed_matches_sharded():
+    """The multi-host frame renderer (per-process ray shards, replicated
+    psum framebuffer, host-local fetch) agrees with the single-host
+    sharded renderer up to sampling noise."""
+    from portrayer_tpu.parallel import (
+        global_mesh, render_frame_distributed, render_tiles_sharded,
+        make_mesh,
+    )
+
+    spec = scenes.load("simple")
+    cfg = RenderConfig(samples=2, accel="flat", node_chunk=16)
+    st = flatten_scene(spec.scene, dtype=cfg.dtype)
+    size = (24, 20)
+
+    img_d = render_frame_distributed(
+        global_mesh(), st, spec.camera, size, spec.background, cfg
+    )
+    img_s = render_tiles_sharded(
+        make_mesh(8), st, spec.camera, size, spec.background, cfg
+    )
+    assert img_d.shape == (20, 24, 3)
+    assert np.isfinite(img_d).all() and img_d.max() > 0
+    assert np.abs(img_d - img_s).mean() < 0.05

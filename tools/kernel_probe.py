@@ -66,5 +66,65 @@ def main():
     print(f"flat    {dt*1e3:8.2f} ms {R/dt/1e6:8.2f} Mrays/s")
 
 
+
+
+def prologue_probe(scene="big-scene", R=262144, B=256, reps=5):
+    """Time prologue pieces in isolation (run via --prologue)."""
+    from portrayer_tpu import RenderConfig
+    from portrayer_tpu.ops.beam import _warp_entry_t, _pad_to
+    import jax.numpy as jnp
+
+    spec, st = load_tables(scene)
+    o, d = make_rays(spec, R)
+    cfg = RenderConfig(samples=1, pallas_block=B)
+    pk = st.packed
+    NB = R // B
+
+    def blocks(o, d):
+        ob = o.reshape(NB, B, 3)
+        db = d.reshape(NB, B, 3)
+        omin = ob.min(axis=1); omax = ob.max(axis=1)
+        dmin = db.min(axis=1); dmax = db.max(axis=1)
+        return _warp_entry_t(omin, omax, dmin, dmax,
+                             pk.chunk_min, pk.chunk_max)
+
+    fn = jax.jit(lambda o, d: blocks(o, d).sum())
+    dt = timeit(fn, o, d, reps=reps)
+    print(f"entry_t       {dt*1e3:8.2f} ms")
+
+    fn = jax.jit(lambda o, d: jnp.argsort(blocks(o, d), axis=1).sum())
+    dt = timeit(fn, o, d, reps=reps)
+    print(f"entry_t+sort  {dt*1e3:8.2f} ms")
+
+    def packed(o, d):
+        ob = o.reshape(NB, B, 3); db = d.reshape(NB, B, 3)
+        z = jnp.zeros((NB, B))
+        return jnp.stack([ob[...,0],ob[...,1],ob[...,2],
+                          db[...,0],db[...,1],db[...,2],
+                          z,z,z,z,z], axis=-1)
+    fn = jax.jit(lambda o, d: packed(o, d))
+    dt = timeit(fn, o, d, reps=reps)
+    print(f"rays_packed   {dt*1e3:8.2f} ms")
+
+    from portrayer_tpu.ops.intersect import winner_t
+    node = jnp.zeros((R,), jnp.int32)
+    tri = jnp.full((R,), -1, jnp.int32)
+    t_min = jnp.full((R,), cfg.epsilon, jnp.float32)
+    fn = jax.jit(lambda o, d, n, tr: winner_t(o, d, n, tr, st, cfg,
+                                              t_min, jnp.inf).sum())
+    dt = timeit(fn, o, d, node, tri, reps=reps)
+    print(f"winner_t      {dt*1e3:8.2f} ms")
+
+
 if __name__ == "__main__":
-    main()
+    if "--prologue" in sys.argv:
+        sys.argv.remove("--prologue")
+        import argparse
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--scene", default="big-scene")
+        ap.add_argument("--rays", type=int, default=262144)
+        ap.add_argument("--block", type=int, default=256)
+        a, _ = ap.parse_known_args()
+        prologue_probe(a.scene, a.rays, a.block)
+    else:
+        main()
