@@ -110,7 +110,15 @@ _CUBE_FACES = (
 
 
 def _cube_face_fold(o, d, t_min, t_max, eps):
-    """Returns (best_t, best_face) folding faces with strictly-smaller wins."""
+    """Returns (best_t, best_face) folding faces with strictly-smaller wins.
+
+    The containment test skips the face's own axis: the solved point lies on
+    that plane *by construction* (|p_axis| == 0.5 in exact arithmetic, so the
+    reference's all-axes contains() always passes there, cube.rs:70-82).
+    Checking it in f32 would spuriously reject hits on thin-scaled cubes:
+    p_axis = o_axis + t*d_axis cancels two large values whose rounding error
+    exceeds EPSILON once the local frame is magnified ~100x (e.g. the road
+    slab in primitives.rs, scaled (2, 0.01, 4))."""
     r = 0.5 + eps
     best_t = jnp.full(o.shape[:-1], INF, o.dtype)
     best_face = jnp.full(o.shape[:-1], -1, jnp.int32)
@@ -121,7 +129,10 @@ def _cube_face_fold(o, d, t_min, t_max, eps):
         numer = -(o[..., axis] - sign) * jnp.sign(sign)
         t = _guarded_div(numer, denom)
         p = o + _finite(t)[..., None] * d
-        contains = jnp.all(jnp.abs(p) <= r, axis=-1)
+        contains = jnp.ones(o.shape[:-1], bool)
+        for ax in range(3):
+            if ax != axis:
+                contains = contains & (jnp.abs(p[..., ax]) <= r)
         ok = _in_range(t, t_min, t_max) & contains & (t < best_t)
         best_face = jnp.where(ok, fi, best_face)
         best_t = jnp.where(ok, t, best_t)

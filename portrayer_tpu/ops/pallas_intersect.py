@@ -245,15 +245,19 @@ def _make_kernel(B, SCp, Nslab, eps, self_eps_local, dtype, use_src,
                 t_min_e = general_tmin(ld2)
                 best = jnp.full((B, C), INF, dtype)
                 # FACES order of cube.rs:46-65 (sign-folded plane solve).
+                # Containment skips the solved axis (on-plane by
+                # construction; f32-robust for thin scales — see
+                # intersect._cube_face_fold).
+                p3 = lambda t: (lox + t * ldx, loy + t * ldy, loz + t * ldz)
                 for axis, sign in ((0, 0.5), (0, -0.5), (1, 0.5), (1, -0.5),
                                    (2, 0.5), (2, -0.5)):
                     sg = 1.0 if sign > 0 else -1.0
                     t = _gd(-(o3[axis] - sign) * sg, d3[axis] * sg)
-                    px = lox + t * ldx
-                    py = loy + t * ldy
-                    pz = loz + t * ldz
-                    contains = ((jnp.abs(px) <= r) & (jnp.abs(py) <= r)
-                                & (jnp.abs(pz) <= r))
+                    p = p3(t)
+                    contains = jnp.ones((B, C), bool)
+                    for ax in range(3):
+                        if ax != axis:
+                            contains = contains & (jnp.abs(p[ax]) <= r)
                     ok = in_range(t, t_min_e) & contains & (t < best)
                     best = jnp.where(ok, t, best)
                 return best

@@ -35,7 +35,10 @@ _REGISTRY = {
     "glossy-reflection": ("scenes.glossy_reflection", "07_glossy-reflection.png"),
     "soft-shadows": ("scenes.soft_shadows", "08_soft-shadows.png"),
     "entering-the-mirror-dimension": ("scenes.mirror_dimension", "entering-the-mirror-dimension.png"),
-    "big-scene": ("scenes.big_scene", "09a_kdtree.png"),
+    # NB: 09a_kdtree.png is NOT registered as big-scene's golden — the
+    # object layout comes from Rust's seeded StdRng stream, which a Python
+    # port cannot reproduce, so pixels are incomparable.
+    "big-scene": ("scenes.big_scene", None),
     "instance": ("scenes.instance", None),
     "hier": ("scenes.hier", None),
     "nonhier": ("scenes.nonhier", None),

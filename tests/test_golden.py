@@ -15,14 +15,16 @@ from portrayer_tpu import render_linear, finalize, RenderConfig
 GOLDEN_DIR = "/root/reference/render"
 
 
-def golden_slice(name, region, samples=16, mean_tol=0.035, p95_tol=0.10):
+def golden_slice(name, region, samples=16, mean_tol=0.035, p95_tol=0.10,
+                 cfg=None):
     spec = scenes.load(name)
     assert spec.golden, f"no golden for {name}"
     gpath = os.path.join(GOLDEN_DIR, spec.golden)
     gold = np.asarray(PILImage.open(gpath).convert("RGB"), dtype=np.float64) / 255.0
     (x1, y1), (x2, y2) = region
 
-    cfg = RenderConfig(samples=samples, tile=(64, 64), node_chunk=128)
+    if cfg is None:
+        cfg = RenderConfig(samples=samples, tile=(64, 64), node_chunk=128)
     img = render_linear(
         spec.scene, spec.camera, spec.size, spec.background, cfg,
         region=region,
@@ -71,3 +73,62 @@ def test_antialiasing_monkey():
     assert diff.mean() < 0.02 and np.quantile(diff, 0.95) < 0.06, (
         f"mean={diff.mean():.4f} p95={np.quantile(diff, 0.95):.4f}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Golden breadth: every reference render with a comparable scene gets a
+# high-variance 128x128 slice comparison at 32 spp.  Regions were chosen as
+# the max-std window of each golden; tolerances are ~2.5x the measured
+# divergence (sampling noise at different rng + f32-vs-f64), so regressions
+# of a shading/geometry path fail loudly while honest noise passes.
+# (09a_kdtree.png has no test: big-scene's layout comes from Rust's seeded
+# StdRng stream, which no Python port can reproduce.)
+# ---------------------------------------------------------------------------
+
+GOLDEN_SLICES = {
+    # name: (region, mean_tol, p95_tol)
+    # primitives guards the thin-cube f32 fix (road slab scaled (2,.01,4)):
+    # pre-fix the solved-axis containment noise read 0.018 mean here.
+    "primitives": (((320, 384), (447, 511)), 0.008, 0.015),
+    "smooth-shading": (((384, 384), (511, 511)), 0.008, 0.015),
+    "normal-mapping": (((320, 384), (447, 511)), 0.010, 0.022),
+    "texture-mapping": (((0, 384), (127, 511)), 0.008, 0.015),
+    "cube-mapping": (((0, 384), (127, 511)), 0.008, 0.015),
+    "water-glass": (((288, 160), (415, 287)), 0.010, 0.027),
+    "glossy-reflection": (((384, 288), (511, 415)), 0.008, 0.015),
+    "soft-shadows": (((352, 128), (479, 255)), 0.008, 0.015),
+    "entering-the-mirror-dimension": (((384, 416), (511, 543)), 0.022, 0.065),
+    "robot-alarm-clock": (((992, 160), (1119, 287)), 0.022, 0.065),
+}
+
+
+@pytest.mark.golden
+@pytest.mark.parametrize("name", sorted(GOLDEN_SLICES))
+def test_golden_slice(name):
+    region, mean_tol, p95_tol = GOLDEN_SLICES[name]
+    golden_slice(name, region, samples=32, mean_tol=mean_tol,
+                 p95_tol=p95_tol)
+
+
+@pytest.mark.golden
+def test_golden_transmission_refraction():
+    """Refraction tower slice.  Needs queue_factor > 1: at the default the
+    2Q refraction children overflow and the lowest-throughput ones are
+    terminated with the background fallback, which visibly brightens the
+    glass stack (measured mean 0.043 @ qf=1 vs 0.026 @ qf=4)."""
+    cfg = RenderConfig(samples=32, tile=(64, 64), node_chunk=128,
+                       queue_factor=4.0)
+    golden_slice("transmission-refraction", ((96, 192), (223, 319)),
+                 mean_tol=0.04, p95_tol=0.15, cfg=cfg)
+
+
+@pytest.mark.golden
+def test_golden_strict_parity_epsilons():
+    """The float32 robustness guards (eps_rel, self_eps_local) are ON by
+    default but must not shift pixels: a strict-parity render (both zeroed
+    — exact reference semantics) stays within the same tolerance as the
+    default-config comparison above."""
+    cfg = RenderConfig(samples=32, tile=(64, 64), node_chunk=128,
+                       eps_rel=0.0, self_eps_local=0.0)
+    golden_slice("primitives-simple", ((390, 220), (517, 347)),
+                 mean_tol=0.008, p95_tol=0.015, cfg=cfg)
