@@ -1,13 +1,17 @@
-"""Benchmark: big-scene primary-ray throughput on one chip.
+"""Benchmark: the BASELINE.md workloads on one chip.
 
-Mirrors the reference's published kd-tree benchmark workload
-(examples/big-scene.rs: 1980x1020, SAMPLES=1, 1000 random primitives;
-render/09_kdtree_timing_data.txt) and reports primary-ray throughput.
+Headline: graphics-castle forward+backward ray throughput (the BASELINE
+target is >= 50 Mrays/s/chip fwd+bwd).  Also measured and reported in
+"extras":
+  * graphics-castle forward-only throughput,
+  * big-scene primary throughput (the reference's published kd-tree
+    benchmark, render/09_kdtree_timing_data.txt: ~0.43 Mrays/s primary on
+    a ~56-thread CPU host),
+  * a device-scaling table (rays/s at 1..N devices with scaling
+    efficiency %) — on the real TPU topology when several chips are
+    attached, else on a virtual CPU mesh as a sharding-efficiency proxy.
 
-Baseline: the reference renders this in ~4.7 s with its kd-tree
-(~0.43 Mrays/s primary, BASELINE.md) on a ~56-thread CPU host.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
 
 import json
@@ -15,14 +19,24 @@ import os
 import sys
 import time
 
-# One real render pass is enough for timing; keep bench runtime bounded.
 os.environ.setdefault("SAMPLES", "1")
 
 BASELINE_MRAYS = 0.43  # reference big-scene primary throughput (BASELINE.md)
 
 
-def main():
+def _timeit(fn, *args, reps=3):
     import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_big_scene():
     import scenes
     from portrayer_tpu import render_u8, RenderConfig
     from portrayer_tpu.scene.flatten import flatten_scene
@@ -31,24 +45,150 @@ def main():
     w, h = spec.size
     cfg = RenderConfig(samples=1, tile=(256, 256))
     st = flatten_scene(spec.scene, dtype=cfg.dtype)
-
-    # Warm-up (compile) with the full tile grid, then a timed render.
-    render_u8(st, spec.camera, (w, h), spec.background, cfg)
-
+    render_u8(st, spec.camera, (w, h), spec.background, cfg)  # compile
     t0 = time.time()
-    img = render_u8(st, spec.camera, (w, h), spec.background, cfg)
+    render_u8(st, spec.camera, (w, h), spec.background, cfg)
     dt = time.time() - t0
+    return w * h / dt / 1e6
 
-    rays = w * h * 1
-    mrays = rays / dt / 1e6
+
+def bench_castle(fwd_bwd: bool, res=256, spp=1):
+    """Castle tile throughput in Mrays/s (primary rays / wall time)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import scenes
+    from portrayer_tpu import RenderConfig
+    from portrayer_tpu.scene.flatten import flatten_scene
+    from portrayer_tpu.camera import Camera
+    from portrayer_tpu.ops.trace import trace
+    from portrayer_tpu.parallel import make_mesh, train_step
+
+    spec = scenes.load("graphics-castle")
+    cfg = RenderConfig(samples=spp, tile=(res, res))
+    st = _castle_tables(cfg)
+    cam = Camera(spec.camera, spec.size, dtype=cfg.dtype)
+    P_ = res * res
+    R = P_ * spp
+    # Center crop of the full-res camera grid.
+    w, h = spec.size
+    x0, y0 = (w - res) // 2, (h - res) // 2
+    ys, xs = np.mgrid[y0:y0 + res, x0:x0 + res]
+    px = jnp.asarray(np.repeat(xs.reshape(-1), spp), cfg.dtype) + 0.5
+    py = jnp.asarray(np.repeat(ys.reshape(-1), spp), cfg.dtype) + 0.5
+    o, d = cam.rays_at(px, py)
+    pix = jnp.asarray(np.repeat(np.arange(P_), spp), jnp.int32)
+    bg = jnp.zeros((P_, 3), cfg.dtype)
+    key = jax.random.PRNGKey(0)
+
+    if fwd_bwd:
+        mesh = make_mesh(1)
+        target = jnp.zeros((P_, 3), cfg.dtype)
+        fn = jax.jit(lambda k, o, d, pix, bg, tgt: train_step(
+            mesh, k, o, d, pix, bg, P_, spp, tgt, st, cfg))
+        dt = _timeit(fn, key, o, d, pix, bg, target)
+    else:
+        fn = jax.jit(lambda k, o, d, pix, bg: trace(
+            k, o, d, pix, bg, P_, st, cfg, spp_contiguous=spp))
+        dt = _timeit(fn, key, o, d, pix, bg)
+    return R / dt / 1e6
+
+
+_CASTLE = {}
+
+
+def _castle_tables(cfg):
+    from portrayer_tpu.scene.flatten import flatten_scene
+    import scenes
+
+    if "st" not in _CASTLE:
+        spec = scenes.load("graphics-castle")
+        _CASTLE["st"] = flatten_scene(spec.scene, dtype=cfg.dtype)
+    return _CASTLE["st"]
+
+
+def bench_scaling(max_devices=8, res=64, spp=2):
+    """rays/s vs device count on the biggest available mesh.
+
+    On a single-chip host this runs on a virtual CPU mesh
+    (xla_force_host_platform_device_count) — absolute numbers are then a
+    CPU proxy, but the *efficiency* column is the sharding overhead the
+    BASELINE scaling target cares about."""
+    import numpy as np
+    import jax
+
+    n_avail = len(jax.devices())
+    counts = [n for n in (1, 2, 4, 8) if n <= min(max_devices, n_avail)]
+    if len(counts) < 2:
+        return None
+
+    import jax.numpy as jnp
+    import scenes
+    from portrayer_tpu import RenderConfig, flatten_scene
+    from portrayer_tpu.camera import Camera
+    from portrayer_tpu.parallel import make_mesh, trace_sharded
+
+    spec = scenes.load("big-scene")
+    cfg = RenderConfig(samples=spp, tile=(res, res))
+    st = flatten_scene(spec.scene, dtype=cfg.dtype)
+    cam = Camera(spec.camera, spec.size, dtype=cfg.dtype)
+    P_ = res * res
+    R = P_ * spp
+    ys, xs = np.mgrid[0:res, 0:res]
+    px = jnp.asarray(np.repeat(xs.reshape(-1), spp), cfg.dtype) + 0.5
+    py = jnp.asarray(np.repeat(ys.reshape(-1), spp), cfg.dtype) + 0.5
+    o, d = cam.rays_at(px, py)
+    pix = jnp.asarray(np.repeat(np.arange(P_), spp), jnp.int32)
+    bg = jnp.zeros((P_, 3), cfg.dtype)
+    key = jax.random.PRNGKey(0)
+
+    rows = []
+    base = None
+    for n in counts:
+        mesh = make_mesh(n)
+        fn = jax.jit(lambda k, o, d, pix, bg, mesh=mesh: trace_sharded(
+            mesh, k, o, d, pix, bg, P_, st, cfg))
+        dt = _timeit(fn, key, o, d, pix, bg)
+        rps = R / dt
+        if base is None:
+            base = rps
+        eff = rps / (base * n)
+        rows.append({"devices": n, "rays_per_s": round(rps),
+                     "efficiency": round(eff, 3)})
+    return rows
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+
+    big = bench_big_scene()
+    castle_fwd = bench_castle(fwd_bwd=False)
+    castle_fb = bench_castle(fwd_bwd=True)
+    scaling = None
+    if not on_tpu or len(jax.devices()) > 1:
+        try:
+            scaling = bench_scaling()
+        except Exception as e:  # pragma: no cover - defensive
+            scaling = f"failed: {e!r}"
+
     out = {
-        "metric": "big_scene_primary_rays",
-        "value": round(mrays, 3),
+        "metric": "castle_fwd_bwd_rays",
+        "value": round(castle_fb, 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / BASELINE_MRAYS, 2),
+        "vs_baseline": round(castle_fb / BASELINE_MRAYS, 2),
+        "extras": {
+            "backend": backend,
+            "castle_fwd_mrays": round(castle_fwd, 3),
+            "big_scene_primary_mrays": round(big, 3),
+            "big_scene_vs_ref_cpu": round(big / BASELINE_MRAYS, 2),
+            "scaling": scaling,
+            "target_fwd_bwd_mrays": 50.0,
+        },
     }
     print(json.dumps(out))
-    return img
 
 
 if __name__ == "__main__":

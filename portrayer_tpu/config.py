@@ -107,6 +107,12 @@ class RenderConfig:
     # (SURVEY §4 nondeterminism caveat).
     seed: int = 0
 
+    # Debug: render every mesh as its AABB cube instead of its triangles —
+    # the reference's `render_bounding_volumes` cargo feature
+    # (src/primitive/mesh.rs:170-176).  Applied when the renderer is given
+    # a Scene (not pre-flattened tables).
+    render_bounding_volumes: bool = False
+
     # Scene acceleration: "flat" (brute-force XLA sweep — the only
     # differentiable path), "beam" (segmented XLA beam sweep), or "pallas"
     # (the production Pallas VMEM sweep kernel with Morton-chunk culling —

@@ -307,7 +307,7 @@ def _local_rays(inv34, o, d):
 
 def intersect_scene(
     o, d, t_min, t_max, st: SceneTables, cfg: RenderConfig,
-    active=None, src_node=None, src_tri=None,
+    active=None, src_node=None, src_tri=None, exact_t=True,
 ) -> Hit:
     """Nearest hit for a batch of world-space rays [R,3].
 
@@ -337,6 +337,7 @@ def intersect_scene(
             return intersect_scene_pallas(
                 *jax.lax.stop_gradient((o, d, t_min, t_max, st)), cfg,
                 active=active, src_node=src_node, src_tri=src_tri,
+                exact_t=exact_t,
             )
     if cfg.accel in ("beam", "pallas"):
         n_prims = st.n_nodes + st.n_pairs
@@ -712,14 +713,15 @@ def hit_detail(
     """Compute world hit point / normal / uv / tangent info for winners.
 
     With ``reattach`` (default), the winning primitive's hit parameter is
-    recomputed differentiably from the scene tables and grafted onto the
-    sweep's t via ``stop_gradient(t) + (t_re - stop_gradient(t_re))``:
-    the forward value is bit-identical to the sweep's t, while gradients
-    flow through the *recompute* to node transforms and primitive params.
-    This is the detached-selection / reattached-value construction that
-    makes every accelerated sweep (Pallas kernel, beam) differentiable at
-    O(R) extra cost — and it also spares reverse mode from transposing the
-    brute-force [R x N] sweep in the flat path.
+    recomputed differentiably from the scene tables and becomes the value
+    used downstream: the sweep only *selects* (node, tri) and its t acts
+    as a detached fallback when float asymmetry loses the recomputed root.
+    This detached-selection / reattached-value construction makes every
+    accelerated sweep (Pallas kernel, beam) differentiable at O(R) extra
+    cost, spares reverse mode from transposing the brute-force [R x N]
+    sweep in the flat path — and it means sweeps may return *quantized*
+    t keys (the Pallas kernel's lane-tagged packing) without any loss:
+    the recompute restores full f32 precision here.
     """
     R = o.shape[0]
     dtype = o.dtype
@@ -757,11 +759,10 @@ def hit_detail(
         t_re = _winner_candidate_t(
             lo, ld, ray_kind, rec, trec, t_min, t_max, eps, present
         )
-        # Sanitize: if float asymmetry between sweep math and the recompute
-        # loses the root, drop the gradient rather than the pixel.
-        t_re = jnp.where(jnp.isfinite(t_re), t_re, 0.0)
-        t = jax.lax.stop_gradient(t) + jnp.where(
-            hit.hit, t_re - jax.lax.stop_gradient(t_re), 0.0
+        # The recompute is the value; the sweep's (possibly quantized) t is
+        # the detached fallback when float asymmetry loses the root.
+        t = jnp.where(
+            hit.hit & jnp.isfinite(t_re), t_re, jax.lax.stop_gradient(t)
         )
 
     p_local = lo + t[:, None] * ld

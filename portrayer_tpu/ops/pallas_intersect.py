@@ -153,8 +153,12 @@ def _make_kernel(B, SCp, Nslab, eps, self_eps_local, dtype, use_src,
                 bp_ref[0] = jnp.full((B, 1), INF_BITS, jnp.int32)
                 bc_ref[0] = jnp.full((B, 1), -1, jnp.int32)
 
-        rays = rays_ref[0]                       # [B, 11] (one DMA per step)
-        colv = lambda i: rays[:, i:i + 1]        # [B, 1] lane slices
+        rays = rays_ref[0]                       # [16, B] feature-major
+        # Feature-major [16, B] keeps the host-side pack lane-aligned (the
+        # [B, 11] layout forced XLA to write 128-lane-padded tiles: ~6ms
+        # per 262k rays just building the operand).  One transpose per
+        # feature per *block* moves rays onto sublanes here.
+        colv = lambda i: rays[i:i + 1, :].reshape(B, 1)  # [B, 1]
         # Per-ray operands are materialized as full [B, C] tiles ONCE per
         # block: inside the chunk loop every op is then plain elementwise —
         # [B,1] x [1,C] outer-broadcast ops would pay a lane-broadcast
@@ -557,10 +561,15 @@ def _make_kernel(B, SCp, Nslab, eps, self_eps_local, dtype, use_src,
 def intersect_scene_pallas(
     o, d, t_min, t_max, st: SceneTables, cfg: RenderConfig,
     active=None, src_node=None, src_tri=None, any_hit=False,
+    exact_t=True,
 ) -> Hit:
     """Nearest hit via the Pallas sweep; same contract as intersect_scene.
 
-    any_hit=True answers occlusion queries: only `.hit` is meaningful."""
+    any_hit=True answers occlusion queries: only `.hit` is meaningful.
+    exact_t=False skips the winner-t recompute epilogue and returns the
+    kernel's quantized t key (2^-16 relative) — for callers that follow up
+    with hit_detail, whose reattach recomputes the exact differentiable t
+    anyway (one recompute instead of two; ~6.5ms per 262k rays on castle)."""
     pk = st.packed
     B = cfg.pallas_block
     assert B % 8 == 0
@@ -579,8 +588,12 @@ def intersect_scene_pallas(
     if src_tri is None:
         src_tri = jnp.full((R0,), -1, jnp.int32)
 
-    ob = _pad_to(o, R, 0.0).reshape(NB, B, 3)
-    db = _pad_to(d, R, 1.0).reshape(NB, B, 3)
+    # Feature-major (transposed) ray rows [NB, B]: every downstream op
+    # then runs on lane-aligned [*, B] tiles — the ray-major [NB, B, 3]
+    # layout pads its minor dim 3 -> 128 lanes and cost ~5ms/262k rays in
+    # block-bound reductions alone.
+    oT = _pad_to(o, R, 0.0).T.reshape(3, NB, B)
+    dT = _pad_to(d, R, 1.0).T.reshape(3, NB, B)
     actb = _pad_to(active, R, False).reshape(NB, B)
     tminb = _pad_to(t_min, R, 1.0).reshape(NB, B)
     tmaxb = _pad_to(t_max_b, R, 0.0).reshape(NB, B)
@@ -589,10 +602,11 @@ def intersect_scene_pallas(
 
     # Block interval bounds over active lanes (beam.py semantics).
     BIG = jnp.asarray(3e38, dtype)
-    omin = jnp.where(actb[..., None], ob, BIG).min(axis=1)
-    omax = jnp.where(actb[..., None], ob, -BIG).max(axis=1)
-    dmin = jnp.where(actb[..., None], db, BIG).min(axis=1)
-    dmax = jnp.where(actb[..., None], db, -BIG).max(axis=1)
+    actT = actb[None]                                   # [1, NB, B]
+    omin = jnp.where(actT, oT, BIG).min(axis=2).T       # [NB, 3]
+    omax = jnp.where(actT, oT, -BIG).max(axis=2).T
+    dmin = jnp.where(actT, dT, BIG).min(axis=2).T
+    dmax = jnp.where(actT, dT, -BIG).max(axis=2).T
     any_active = actb.any(axis=1)
     omin = jnp.where(any_active[:, None], omin, BIG)
     omax = jnp.where(any_active[:, None], omax, -BIG)
@@ -630,21 +644,26 @@ def intersect_scene_pallas(
     # [NB*Nslab, SCp] array violate that; [.., 1, SCp] blocks satisfy it.
     te_smem = te_s.reshape(NB * Nslab, 1, SCp)
     cand_smem = cand.reshape(NB * Nslab, 1, SCp)
+    # Feature-major pack: [NB, 16, B] (11 live rows + pad to a full
+    # sublane pair) — lane dim B stays aligned, so this is a cheap
+    # contiguous write instead of a 128-lane-padded interleave.
+    zeros_row = jnp.zeros((NB, B), dtype)
     rays_packed = jnp.stack(
         [
-            ob[..., 0], ob[..., 1], ob[..., 2],
-            db[..., 0], db[..., 1], db[..., 2],
+            oT[0], oT[1], oT[2],
+            dT[0], dT[1], dT[2],
             tminb, tmaxb,
             srcb.astype(dtype), srctb.astype(dtype),
             actb.astype(dtype),
+            zeros_row, zeros_row, zeros_row, zeros_row, zeros_row,
         ],
-        axis=-1,
-    )                                                   # [NB, B, 11]
+        axis=1,
+    )                                                   # [NB, 16, B]
 
     kernel = _make_kernel(B, SCp, Nslab, cfg.epsilon, cfg.self_eps_local,
                           dtype, use_src, any_hit=any_hit)
 
-    rays_spec = pl.BlockSpec((1, B, 11), lambda b, s: (b, 0, 0),
+    rays_spec = pl.BlockSpec((1, 16, B), lambda b, s: (b, 0, 0),
                              memory_space=pltpu.VMEM)
     te_spec = pl.BlockSpec((1, 1, SCp), lambda b, s: (b * Nslab + s, 0, 0),
                            memory_space=pltpu.SMEM)
@@ -708,6 +727,8 @@ def intersect_scene_pallas(
     # roots lost to float asymmetry between kernel and recompute.
     t_q = jax.lax.bitcast_convert_type(
         jax.lax.bitwise_and(bp, -128), jnp.float32)
+    if not exact_t:
+        return Hit(t=jnp.where(hit, t_q, INF), node=node, tri=tri, hit=hit)
     t_re = winner_t(o, d, node, tri, st, cfg, t_min, t_max,
                     src_node=src_node if use_src else None,
                     src_tri=src_tri if use_src else None)

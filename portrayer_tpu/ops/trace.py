@@ -49,9 +49,11 @@ def _round(
 ):
     """Process one bounce round; returns (acc, children queue of size 2Q)."""
     active = q.w > 0.0
+    # exact_t=False: hit_detail's reattach recomputes the exact
+    # differentiable t, so the sweep may return its quantized key.
     hit = intersect_scene(
         q.o, q.d, q.t_min, jnp.inf, st, cfg, active=active,
-        src_node=q.src_node, src_tri=q.src_tri,
+        src_node=q.src_node, src_tri=q.src_tri, exact_t=False,
     )
     det = hit_detail(
         q.o, q.d, hit, st, cfg, q.t_min,

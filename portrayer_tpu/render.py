@@ -88,12 +88,26 @@ def _tile_chunk(
     return acc  # [P,3] radiance sums (divide by total spp at finalize)
 
 
+# Live-progress plumbing: the whole image is ONE device dispatch (lax.map
+# over tiles), so per-tile ticks surface through jax.debug.callback — the
+# wavefront analogue of the reference's watcher-thread progress bar
+# (src/reporter.rs:16-84).  A fixed slot id keeps the jit cache at two
+# variants (with/without progress); the slot maps to the live reporter.
+_PROGRESS_SLOT = {}
+
+
+def _progress_tick(_):
+    r = _PROGRESS_SLOT.get(0)
+    if r is not None:
+        r.tick()
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "cfg", "background", "tile_h", "tile_w", "spp", "n_chunks",
         "samples", "width", "height", "aspect", "fov_factor", "grid",
-        "as_u8",
+        "as_u8", "progress",
     ),
 )
 def _render_image(
@@ -101,6 +115,7 @@ def _render_image(
     *, cfg: RenderConfig, background, tile_h: int, tile_w: int, spp: int,
     n_chunks: int, samples: int, width: float, height: float,
     aspect: float, fov_factor: float, grid, as_u8: bool = False,
+    progress: bool = False,
 ):
     """Render every tile in `grid` (static tuple of (x0, y0) origins) in a
     single device dispatch: lax.map over tiles, fori_loop over sample
@@ -129,6 +144,8 @@ def _render_image(
             )
 
         acc = jax.lax.fori_loop(0, n_chunks, chunk_fn, jnp.zeros((P, 3), dtype))
+        if progress:
+            jax.debug.callback(_progress_tick, tix, ordered=False)
         mean = (acc / samples).reshape(tile_h, tile_w, 3)
         if as_u8:
             enc = jnp.clip(
@@ -166,7 +183,12 @@ def _render_common(
     if isinstance(scene_or_tables, SceneTables):
         st = scene_or_tables
     else:
-        st = flatten_scene(scene_or_tables, dtype=cfg.dtype)
+        scene = scene_or_tables
+        if cfg.render_bounding_volumes:
+            from .scene.node import bounding_volume_scene
+
+            scene = bounding_volume_scene(scene)
+        st = flatten_scene(scene, dtype=cfg.dtype)
 
     cam = Camera(camera, (width, height), dtype=cfg.dtype)
     samples = cfg.resolved_samples()
@@ -195,26 +217,34 @@ def _render_common(
     grid = tuple(grid)
 
     reporter = reporter or NullProgress(0)
-    reporter.start(total=1)
+    progress = not isinstance(reporter, NullProgress)
+    reporter.start(total=len(grid))
+    if progress:
+        _PROGRESS_SLOT[0] = reporter
 
-    # One device dispatch for the whole image; one device->host transfer.
-    tiles = _render_image(
-        jax.random.PRNGKey(cfg.seed), st, cam.eye, cam.view_to_world,
-        cfg=cfg, background=background, tile_h=tile_h, tile_w=tile_w,
-        spp=spp_chunk, n_chunks=n_chunks, samples=samples,
-        width=cam.width, height=cam.height,
-        aspect=cam.aspect, fov_factor=cam.fov_factor, grid=grid,
-        as_u8=as_u8,
-    )
-    out_dtype = np.uint8 if as_u8 else np.float64
-    tiles = np.asarray(tiles, dtype=out_dtype)  # [T, th, tw, 3]
+    try:
+        # One device dispatch for the whole image; one device->host
+        # transfer.  Per-tile progress ticks arrive via debug callbacks
+        # while the dispatch runs.
+        tiles = _render_image(
+            jax.random.PRNGKey(cfg.seed), st, cam.eye, cam.view_to_world,
+            cfg=cfg, background=background, tile_h=tile_h, tile_w=tile_w,
+            spp=spp_chunk, n_chunks=n_chunks, samples=samples,
+            width=cam.width, height=cam.height,
+            aspect=cam.aspect, fov_factor=cam.fov_factor, grid=grid,
+            as_u8=as_u8, progress=progress,
+        )
+        out_dtype = np.uint8 if as_u8 else np.float64
+        tiles = np.asarray(tiles, dtype=out_dtype)  # [T, th, tw, 3]
+    finally:
+        if progress:
+            _PROGRESS_SLOT.pop(0, None)
 
     out = np.zeros((height, width, 3), dtype=out_dtype)
     for (tx0, ty0), tile in zip(grid, tiles):
         ylim = min(ty0 + tile_h, height)
         xlim = min(tx0 + tile_w, width)
         out[ty0:ylim, tx0:xlim] = tile[: ylim - ty0, : xlim - tx0]
-    reporter.tick()
     reporter.finish()
     return out
 

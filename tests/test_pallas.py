@@ -5,6 +5,7 @@ same kernel compiles through Mosaic on TPU (exercised by bench/driver)."""
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 import scenes
@@ -128,3 +129,27 @@ def test_pallas_respects_active_and_tmax():
     tmax = jnp.where(flat.hit, flat.t * 0.5, 1e-3)
     pal2 = intersect_scene_pallas(o, d, 1e-5, tmax, st, PAL)
     assert not np.asarray(pal2.hit).any()
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="needs a real TPU backend (PORTRAYER_TEST_PLATFORM=tpu)",
+)
+def test_pallas_mosaic_compiles_on_tpu():
+    """Compile + run the Mosaic kernel NON-interpreted and check
+    equivalence vs the flat sweep — catches Mosaic lowering regressions
+    that interpret-mode CPU tests cannot (the kernel has needed
+    Mosaic-specific workarounds before)."""
+    st, o, d = _rays("primitives", n=2048)
+    cfg = RenderConfig(samples=1, pallas_interpret=False)
+    flat = intersect_scene(o, d, 1e-5, jnp.inf, st, FLAT)
+    pal = intersect_scene_pallas(o, d, 1e-5, jnp.inf, st, cfg)
+    both = np.asarray(flat.hit)
+    np.testing.assert_array_equal(both, np.asarray(pal.hit))
+    mism = np.asarray(flat.node)[both] != np.asarray(pal.node)[both]
+    assert mism.mean() <= 0.01
+    np.testing.assert_allclose(
+        np.asarray(pal.t)[both][~mism], np.asarray(flat.t)[both][~mism],
+        rtol=1e-4, atol=1e-5,
+    )
