@@ -38,7 +38,10 @@ Selection semantics match ops/intersect.py except for ties within one
 2^-16 relative t-quantum, which resolve by (chunk order, lane) — i.e.
 Morton order — instead of scene order (verified negligible by the
 equivalence tests, the reference's mesh_equivalence oracle pattern,
-src/kdtree/kdmesh.rs:99-166).
+src/kdtree/kdmesh.rs:99-166).  The best-t early exit and the per-block
+cull are additional tie-order divergence sources: a chunk skipped because
+no ray still needs it can hold an exact-t tie that scene order would have
+preferred — same quantum-sized effect, covered by the same tests.
 
 any_hit=True answers occlusion queries (shadow rays, material.rs:174-179):
 the sweep stops as soon as every live ray has found *some* in-range hit,

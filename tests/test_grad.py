@@ -72,6 +72,7 @@ def _check_grad(field, eps=1e-2, rtol=0.08):
     order = np.argsort(-np.abs(g).ravel())
     flat_idx = [fi for fi in order if abs(g.ravel()[fi]) > 1e-6][:6]
     checked = 0
+    skipped = []
     for fi in flat_idx:
         idx = np.unravel_index(fi, g.shape)
         basis = jnp.zeros_like(value).at[idx].set(1.0)
@@ -91,14 +92,24 @@ def _check_grad(field, eps=1e-2, rtol=0.08):
         # slope of the smooth branch, which no FD straddling a jump can see).
         denom = max(abs(fd), abs(fd_half), 1e-6)
         if abs(fd_half - fd) / denom > 0.25:
+            skipped.append((idx, fd, fd_half))
             continue
         an = g[idx]
         assert np.isclose(an, fd, rtol=rtol, atol=5e-3), (
             f"{field}{idx}: analytic {an} vs fd {fd}"
         )
         checked += 1
-    need = min(2, max(len(flat_idx) - 1, 1))
-    assert checked >= need, f"{field}: only {checked} FD-stable coordinates"
+    if skipped:
+        print(f"{field}: skipped FD-unstable coords "
+              + ", ".join(f"{i} fd={a:.3g}/fd_half={b:.3g}"
+                          for i, a, b in skipped))
+    # A majority of the probed coordinates must be FD-stable — silently
+    # skipping most of them would gut the regression power of this test.
+    need = max(min(2, len(flat_idx) - 1), (len(flat_idx) + 1) // 2)
+    assert checked >= need, (
+        f"{field}: only {checked}/{len(flat_idx)} FD-stable coordinates "
+        f"(skipped: {[i for i, _, _ in skipped]})"
+    )
 
 
 def test_grad_diffuse_matches_fd():
