@@ -107,6 +107,16 @@ class RenderConfig:
     # (SURVEY §4 nondeterminism caveat).
     seed: int = 0
 
+    # Soft-visibility silhouette gradients: when > 0, each hit's
+    # contribution is scaled by sigmoid(margin/width - 3) where margin is a
+    # differentiable distance-to-silhouette (ops/intersect.HitDetail.margin)
+    # and this value is the width in local units; the complementary energy
+    # goes to the background.  The render becomes (nearly) continuous in
+    # scene parameters, so visibility discontinuities produce usable
+    # gradients (SURVEY §7 step 10) at the cost of a thin translucent band
+    # inside silhouettes.  0 (default) = exact reference semantics.
+    soft_visibility: float = 0.0
+
     # Debug: render every mesh as its AABB cube instead of its triangles —
     # the reference's `render_bounding_volumes` cargo feature
     # (src/primitive/mesh.rs:170-176).  Applied when the renderer is given

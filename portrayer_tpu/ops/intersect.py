@@ -55,6 +55,10 @@ class HitDetail(NamedTuple):
     rec: jnp.ndarray      # [R,32] the hit node's fused shading record
                           # (flatten.py node_rec layout) — carries the
                           # material properties so shading needs no gathers
+    margin: jnp.ndarray   # [R] differentiable silhouette margin in local
+                          # units (>0 inside, ->0 at the silhouette, +inf
+                          # where soft visibility is unsupported/off) —
+                          # drives cfg.soft_visibility edge gradients
 
 
 def _guarded_div(n, d, fill=INF):
@@ -706,6 +710,46 @@ def winner_t(o, d, node, tri, st: SceneTables, cfg: RenderConfig,
     )
 
 
+def _silhouette_margin(kind, lo, ld, p_local, trec, dtype):
+    """Differentiable distance-to-silhouette proxy in local units.
+
+    Positive inside the primitive's visible region, -> 0 at the silhouette.
+    Supported: sphere (tangency), plane/cube (face-edge), mesh (barycentric
+    edge).  Cylinder/cone/torus return +inf (hard silhouettes) — their
+    sub-part structure (body/cap rims) has no single smooth margin."""
+    R = lo.shape[0]
+    if kind == SPHERE:
+        # 1 - (distance of the ray line from the center)^2: 0 at tangency.
+        cr = m3.cross(lo, ld)
+        ld2 = jnp.maximum(m3.dot(ld, ld), 1e-30)
+        return 1.0 - m3.dot(cr, cr) / ld2
+    if kind == PLANE:
+        return jnp.minimum(
+            0.5 - jnp.abs(p_local[..., 0]), 0.5 - jnp.abs(p_local[..., 2])
+        )
+    if kind == CUBE:
+        # Distance of the hit point to the winning face's edges: the face
+        # axis carries |p| == 0.5 (the max); the margin is 0.5 minus the
+        # second-largest coordinate magnitude.
+        ap = jnp.abs(p_local)
+        top = jnp.max(ap, axis=-1)
+        second = jnp.sum(ap, axis=-1) - top - jnp.min(ap, axis=-1)
+        return 0.5 - second
+    if kind == MESH and trec is not None:
+        a = trec[:, 0:3]
+        b = trec[:, 3:6]
+        c = trec[:, 6:9]
+        _, beta, gamma = triangle_candidate(
+            lo[:, None, :], ld[:, None, :],
+            a[:, None, :], b[:, None, :], c[:, None, :],
+            jnp.full((R, 1), -INF, dtype), jnp.full((R, 1), INF, dtype),
+        )
+        beta = beta[:, 0]
+        gamma = gamma[:, 0]
+        return jnp.minimum(jnp.minimum(beta, gamma), 1.0 - beta - gamma)
+    return jnp.full((R,), INF, dtype)
+
+
 def hit_detail(
     o, d, hit: Hit, st: SceneTables, cfg: RenderConfig, t_min,
     src_node=None, src_tri=None, reattach: bool = True,
@@ -773,6 +817,8 @@ def hit_detail(
     has_uv = jnp.zeros((R,), bool)
     nmt = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (R, 3, 3))
     has_nmt = jnp.zeros((R,), bool)
+    margin = jnp.full((R,), INF, dtype)
+    want_margin = cfg.soft_visibility > 0.0
 
     for kind in sorted(present):
         if kind == SPHERE:
@@ -796,6 +842,9 @@ def hit_detail(
         has_uv = jnp.where(mask, huv_k, has_uv)
         nmt = jnp.where(mask[:, None, None], nmt_k, nmt)
         has_nmt = jnp.where(mask, hnmt_k, has_nmt)
+        if want_margin:
+            m_k = _silhouette_margin(kind, lo, ld, p_local, trec, dtype)
+            margin = jnp.where(mask, m_k, margin)
 
     # Local normal -> world (normal matrix = inv-transpose 3x3).
     normal_w = m3.matvec3(nmat, normal)
@@ -804,5 +853,5 @@ def hit_detail(
         point=point, normal=normal_w, uv=uv, has_uv=has_uv,
         nmt=nmt, has_nmt=has_nmt,
         material=jnp.where(hit.hit, material, 0),
-        rec=rec,
+        rec=rec, margin=margin,
     )

@@ -73,16 +73,32 @@ def _round(
         q.d, hit, det, st, cfg, rkey, active & hit.hit
     )
 
-    w_refl = q.w * children.refl_mult
-    w_refr = q.w * children.refr_mult
+    w_hit = q.w
+    soft_w = 0.0
+    if cfg.soft_visibility > 0.0:
+        # Soft silhouettes: scale this hit's energy by the differentiable
+        # coverage alpha and route the complement to the background, making
+        # visibility (nearly) continuous in scene parameters.  The -3 shift
+        # puts the transition band *inside* the silhouette so the residual
+        # jump at the true edge is sigmoid(-3) ~ 5%.
+        alpha = jax.nn.sigmoid(det.margin / cfg.soft_visibility - 3.0)
+        alpha = jnp.where(
+            active & hit.hit & jnp.isfinite(det.margin), alpha, 1.0
+        )
+        w_hit = q.w * alpha
+        soft_w = q.w - w_hit
+
+    w_refl = w_hit * children.refl_mult
+    w_refr = w_hit * children.refr_mult
 
     # One combined accumulation per round (scatters are ~ms-level on TPU):
-    # background for misses + local shading + the depth-limit cut-off where
-    # every child evaluates to the background (material.rs:102-104).
+    # background for misses + soft-silhouette complement + local shading +
+    # the depth-limit cut-off where every child evaluates to the background
+    # (material.rs:102-104).
     last = jnp.asarray(is_last)
-    bg_w = miss_w + jnp.where(last, w_refl + w_refr, 0.0)
+    bg_w = miss_w + soft_w + jnp.where(last, w_refl + w_refr, 0.0)
     acc = _acc_add(
-        acc, q.pix, bg_w[:, None] * bgc + q.w[:, None] * local, spp_c
+        acc, q.pix, bg_w[:, None] * bgc + w_hit[:, None] * local, spp_c
     )
     w_refl = jnp.where(last, 0.0, w_refl)
     w_refr = jnp.where(last, 0.0, w_refr)
