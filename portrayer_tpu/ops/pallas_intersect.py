@@ -513,11 +513,21 @@ def _make_kernel(B, SCp, Nslab, eps, self_eps_local, dtype, use_src,
                         & (tec <= ub) & (tec < INF))
 
             def body(state):
+                # 2-wide unroll: two chunks per iteration overlap their
+                # row loads/compute and halve loop-control serialization
+                # (cond's SMEM read + reduce is a pipeline flush).  The
+                # second chunk may be past the exit point — evaluating a
+                # culled/extra chunk is safe (conservative cull => it can
+                # only produce misses) and merely wastes one step.
                 ci, fnd = state
-                cand = cand_ref[0, 0, ci]
-                t = chunk_t(cand)
-                hit_any = jnp.min(t, axis=1, keepdims=True) < INF
-                return ci + 1, jnp.maximum(fnd, hit_any.astype(jnp.int32))
+                hit_any = jnp.zeros((B, 1), bool)
+                for k in range(2):
+                    idx = jnp.minimum(ci + k, SCp - 1)
+                    t = chunk_t(cand_ref[0, 0, idx])
+                    t = jnp.where(ci + k < SCp, t, INF)
+                    hit_any = hit_any | (
+                        jnp.min(t, axis=1, keepdims=True) < INF)
+                return ci + 2, jnp.maximum(fnd, hit_any.astype(jnp.int32))
 
             _, fnd = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), fnd_ref[0]))
@@ -537,17 +547,21 @@ def _make_kernel(B, SCp, Nslab, eps, self_eps_local, dtype, use_src,
                 return (ci < SCp) & has_act & (tec <= ub) & (tec < INF)
 
             def body(state):
+                # 2-wide unroll (see any_hit body).  Sequential fold with
+                # strict < keeps the earlier candidate winning ties.
                 ci, bp, bc = state
-                cand = cand_ref[0, 0, ci]
-                t = chunk_t(cand)
-                tb = pltpu.bitcast(t, jnp.int32)
-                packed = jax.lax.bitwise_or(
-                    jax.lax.bitwise_and(tb, -128), lanes)
-                pmin = jnp.min(packed, axis=1, keepdims=True)      # [B,1]
-                better = pmin < bp
-                bp = jnp.where(better, pmin, bp)
-                bc = jnp.where(better, s * SCp + ci, bc)
-                return ci + 1, bp, bc
+                for k in range(2):
+                    idx = jnp.minimum(ci + k, SCp - 1)
+                    t = chunk_t(cand_ref[0, 0, idx])
+                    t = jnp.where(ci + k < SCp, t, INF)
+                    tb = pltpu.bitcast(t, jnp.int32)
+                    packed = jax.lax.bitwise_or(
+                        jax.lax.bitwise_and(tb, -128), lanes)
+                    pmin = jnp.min(packed, axis=1, keepdims=True)   # [B,1]
+                    better = pmin < bp
+                    bp = jnp.where(better, pmin, bp)
+                    bc = jnp.where(better, s * SCp + ci + k, bc)
+                return ci + 2, bp, bc
 
             _, bp, bc = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), bp_ref[0], bc_ref[0]))

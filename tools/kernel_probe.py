@@ -59,6 +59,17 @@ def main():
     dt = timeit(fn, o, d, t_min, reps=args.reps)
     print(f"launch  {dt*1e3:8.2f} ms {R/dt/1e6:8.2f} Mrays/s")
 
+    # trace-path variants (what the renderer actually pays)
+    fn = jax.jit(lambda o, d, t: intersect_scene_pallas(
+        o, d, t, jnp.inf, st, cfg, exact_t=False))
+    dt = timeit(fn, o, d, t_min, reps=args.reps)
+    print(f"near-q  {dt*1e3:8.2f} ms {R/dt/1e6:8.2f} Mrays/s  (exact_t=False)")
+
+    fn = jax.jit(lambda o, d, t: intersect_scene_pallas(
+        o, d, t, 2e-5, st, cfg, exact_t=False))
+    dt = timeit(fn, o, d, t_min, reps=args.reps)
+    print(f"launch-q{dt*1e3:8.2f} ms {R/dt/1e6:8.2f} Mrays/s  (0-iter, no winner_t)")
+
     cfg_flat = RenderConfig(samples=1, accel="flat")
     fn = jax.jit(lambda o, d, t: intersect_scene(
         o, d, t, jnp.inf, st, cfg_flat))
