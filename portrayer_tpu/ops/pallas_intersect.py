@@ -65,7 +65,11 @@ from .beam import _warp_entry_t, _pad_to
 INF = jnp.inf
 INF_BITS = 0x7F800000  # bit pattern of float32 +inf (python int: kernels must not capture arrays)
 C = PACK_CHUNK  # 128 prims per chunk = one VPU lane sweep
-KIND_BITS = 4   # candidate id = sorted_chunk_index * 16 + packed_kind
+# Same-kind chunk runs at or below this length sweep as a static unrolled
+# loop (no sort, no early exit): for a handful of chunks the while_loop's
+# SMEM cond read + reduce (a pipeline flush per iteration) costs more than
+# just evaluating every chunk.
+STATIC_SWEEP_MAX = 2
 
 
 # ---------------------------------------------------------------------------
@@ -139,8 +143,8 @@ def _unit_sphere_root(b, c, t_min, t_max):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(B, SCp, Nslab, eps, self_eps_local, dtype, use_src,
-                 any_hit=False):
+def _make_kernel(B, SC, Nslab, slab_ranges, eps, self_eps_local, dtype,
+                 use_src, any_hit=False):
     def kernel(te_ref, cand_ref, rays_ref, pf_ref, pid_ref, *outs):
         if any_hit:
             (fnd_ref,) = outs
@@ -162,411 +166,477 @@ def _make_kernel(B, SCp, Nslab, eps, self_eps_local, dtype, use_src,
         # per 262k rays just building the operand).  One transpose per
         # feature per *block* moves rays onto sublanes here.
         colv = lambda i: rays[i:i + 1, :].reshape(B, 1)  # [B, 1]
-        # Per-ray operands are materialized as full [B, C] tiles ONCE per
-        # block: inside the chunk loop every op is then plain elementwise —
-        # [B,1] x [1,C] outer-broadcast ops would pay a lane-broadcast
-        # relayout per use per iteration on the VPU.
-        col = lambda i: jnp.broadcast_to(colv(i), (B, C))
-        ox, oy, oz = col(0), col(1), col(2)
-        dx, dy, dz = col(3), col(4), col(5)
-        tminb = col(6)
-        tmaxb = col(7)
-        act = col(10) > 0.0
         # Loop-control reductions stay [B,1] (single-lane keys/bounds).
         tmax1 = colv(7)
         act1 = colv(10) > 0.0
         has_act = jnp.any(act1)
-        if use_src:
-            src_i = col(8).astype(jnp.int32)     # ids stored as exact floats
-            srct_i = col(9).astype(jnp.int32)
 
-        # Reciprocal directions for the AABOX slab test, hoisted out of the
-        # chunk loop (3 divides per ray per *block*, not per chunk).
-        def _rcp(dc):
-            tiny = jnp.where(dc < 0.0, -1e-30, 1e-30)
-            return 1.0 / jnp.where(jnp.abs(dc) < 1e-30, tiny, dc)
-        rdx, rdy, rdz = _rcp(dx), _rcp(dy), _rcp(dz)
-
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
-        neg_big = jnp.asarray(-3e38, dtype)
-
-        def in_range(t, t_min):
-            return (t >= t_min) & (t < tmaxb)
-
-        def chunk_t(cand):
-            """Candidate t [B,C] for one chunk (INF = miss)."""
-            cid = jax.lax.shift_right_logical(cand, KIND_BITS)
-            kind = jax.lax.bitwise_and(cand, (1 << KIND_BITS) - 1)
-            c0 = pl.multiple_of(cid * C, C)
-            row = lambda r: pf_ref[r, pl.ds(c0, C)].reshape(1, C)
-            node = pid_ref[0, pl.ds(c0, C)].reshape(1, C)
+        def _alive():
+            # Everything below — including the per-feature [1,B]->[B,1]
+            # sublane relayouts of the preamble — only runs when the
+            # block has at least one live ray.  Late bounce rounds
+            # compact live rays to the queue front, so most blocks skip
+            # the whole body.
+            # Per-ray operands are materialized as full [B, C] tiles ONCE per
+            # block: inside the chunk loop every op is then plain elementwise —
+            # [B,1] x [1,C] outer-broadcast ops would pay a lane-broadcast
+            # relayout per use per iteration on the VPU.
+            col = lambda i: jnp.broadcast_to(colv(i), (B, C))
+            ox, oy, oz = col(0), col(1), col(2)
+            dx, dy, dz = col(3), col(4), col(5)
+            tminb = col(6)
+            tmaxb = col(7)
+            act = col(10) > 0.0
             if use_src:
-                tri = pid_ref[1, pl.ds(c0, C)].reshape(1, C)
-                is_src = (node == src_i) & (tri == srct_i)
-            else:
-                is_src = jnp.zeros((B, C), bool)
+                src_i = col(8).astype(jnp.int32)     # ids stored as exact floats
+                srct_i = col(9).astype(jnp.int32)
 
-            def general_tmin(ld2):
-                """Self-eps raise in local units (config.self_eps_local)."""
-                if not use_src:
-                    return tminb
-                t_self = self_eps_local * jax.lax.rsqrt(
-                    jnp.maximum(ld2, 1e-30))
-                return jnp.where(is_src, jnp.maximum(tminb, t_self), tminb)
+            # Reciprocal directions for the AABOX slab test, hoisted out of the
+            # chunk loop (3 divides per ray per *block*, not per chunk).
+            def _rcp(dc):
+                tiny = jnp.where(dc < 0.0, -1e-30, 1e-30)
+                return 1.0 / jnp.where(jnp.abs(dc) < 1e-30, tiny, dc)
+            rdx, rdy, rdz = _rcp(dx), _rcp(dy), _rcp(dz)
 
-            def local_frame():
-                m = [row(r) for r in range(12)]
-                lox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
-                loy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
-                loz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
-                ldx = m[0] * dx + m[1] * dy + m[2] * dz
-                ldy = m[4] * dx + m[5] * dy + m[6] * dz
-                ldz = m[8] * dx + m[9] * dy + m[10] * dz
-                return lox, loy, loz, ldx, ldy, ldz
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+            neg_big = jnp.asarray(-3e38, dtype)
 
-            # --- general kinds (world->local affine) -----------------------
-            def sphere_g():
-                lox, loy, loz, ldx, ldy, ldz = local_frame()
-                a = ldx * ldx + ldy * ldy + ldz * ldz
-                b = 2.0 * (lox * ldx + loy * ldy + loz * ldz)
-                c = lox * lox + loy * loy + loz * loz - 1.0
-                return _smallest_root(a, b, c, general_tmin(a), tmaxb)
+            def in_range(t, t_min):
+                return (t >= t_min) & (t < tmaxb)
 
-            def plane_g():
-                lox, loy, loz, ldx, ldy, ldz = local_frame()
-                t = _gd(-loy, ldy)
-                px = lox + t * ldx
-                pz = loz + t * ldz
-                r = 0.5 + eps
-                ld2 = ldx * ldx + ldy * ldy + ldz * ldz
-                ok = (in_range(t, general_tmin(ld2))
-                      & (jnp.abs(px) <= r) & (jnp.abs(pz) <= r))
-                return jnp.where(ok, t, INF)
-
-            def cube_g():
-                lox, loy, loz, ldx, ldy, ldz = local_frame()
-                r = 0.5 + eps
-                o3 = (lox, loy, loz)
-                d3 = (ldx, ldy, ldz)
-                ld2 = ldx * ldx + ldy * ldy + ldz * ldz
-                t_min_e = general_tmin(ld2)
-                best = jnp.full((B, C), INF, dtype)
-                # FACES order of cube.rs:46-65 (sign-folded plane solve).
-                # Containment skips the solved axis (on-plane by
-                # construction; f32-robust for thin scales — see
-                # intersect._cube_face_fold).
-                p3 = lambda t: (lox + t * ldx, loy + t * ldy, loz + t * ldz)
-                for axis, sign in ((0, 0.5), (0, -0.5), (1, 0.5), (1, -0.5),
-                                   (2, 0.5), (2, -0.5)):
-                    sg = 1.0 if sign > 0 else -1.0
-                    t = _gd(-(o3[axis] - sign) * sg, d3[axis] * sg)
-                    p = p3(t)
-                    contains = jnp.ones((B, C), bool)
-                    for ax in range(3):
-                        if ax != axis:
-                            contains = contains & (jnp.abs(p[ax]) <= r)
-                    ok = in_range(t, t_min_e) & contains & (t < best)
-                    best = jnp.where(ok, t, best)
-                return best
-
-            def cylinder_g():
-                lox, loy, loz, ldx, ldy, ldz = local_frame()
-                R2 = 0.25
-                a = ldx * ldx + ldz * ldz
-                b = 2.0 * (lox * ldx + loz * ldz)
-                c = lox * lox + loz * loz - R2
-                ld2 = a + ldy * ldy
-                t_min_e = general_tmin(ld2)
-                t_body = _smallest_root(a, b, c, t_min_e, tmaxb)
-                y = loy + t_body * ldy
-                best = jnp.where(~(y > 0.5) & ~(y < -0.5), t_body, INF)
-                for h in (0.5, -0.5):
-                    t = _gd(h - loy, ldy)
-                    px = lox + t * ldx
-                    pz = loz + t * ldz
-                    ok = in_range(t, t_min_e) & ~(px * px + pz * pz > R2)
-                    t = jnp.where(ok, t, INF)
-                    best = jnp.where(t < best, t, best)
-                return best
-
-            def cone_g():
-                lox, loy, loz, ldx, ldy, ldz = local_frame()
-                H = 1.0
-                h2 = H * H
-                r2 = 0.25
-                a = 4.0 * ldy * ldy * r2 - 4.0 * h2 * (ldx * ldx + ldz * ldz)
-                b = (-8.0 * h2 * (ldx * lox + ldz * loz)
-                     - 4.0 * r2 * (ldy * H - 2.0 * ldy * loy))
-                c = (-4.0 * h2 * (lox * lox + loz * loz)
-                     + r2 * (h2 - 4.0 * H * loy + 4.0 * loy * loy))
-                ld2 = ldx * ldx + ldy * ldy + ldz * ldz
-                t_min_e = general_tmin(ld2)
-                t_body = _smallest_root(a, b, c, t_min_e, tmaxb)
-                y = loy + t_body * ldy
-                t_body = jnp.where(~(y > 0.5) & ~(y < -0.5), t_body, INF)
-                t_cap = _gd(-0.5 - loy, ldy)
-                px = lox + t_cap * ldx
-                pz = loz + t_cap * ldz
-                okc = in_range(t_cap, t_min_e) & ~(px * px + pz * pz > r2)
-                t_cap = jnp.where(okc, t_cap, INF)
-                return jnp.where(t_cap < t_body, t_cap, t_body)
-
-            def torus_g():
-                # Quartic torus (primitive/torus.rs:56-110); radii in rows
-                # 12..13.  Ferrari + Newton polish, written without stacked
-                # axes for Mosaic (see math3d.quartic_roots).
-                lox, loy, loz, ldx, ldy, ldz = local_frame()
-                c_r, a_r = row(12), row(13)
-                dd = ldx * ldx + ldy * ldy + ldz * ldz
-                pp = lox * lox + loy * loy + loz * loz
-                dp = ldx * lox + ldy * loy + ldz * loz
-                t_min_e = general_tmin(dd)
-                a2 = a_r * a_r
-                c2 = c_r * c_r
-                k = pp - (a2 + c2)
-                A = dd * dd
-                Bq = 4.0 * dd * dp
-                C4 = 2.0 * dd * k + 4.0 * dp * dp + 4.0 * c2 * ldy * ldy
-                D = 4.0 * k * dp + 8.0 * c2 * loy * ldy
-                E = k * k - 4.0 * c2 * (a2 - loy * loy)
-
-                safe_A = jnp.where(A == 0.0, 1.0, A)
-                b = Bq / safe_A
-                c = C4 / safe_A
-                d_ = D / safe_A
-                e = E / safe_A
-                b2 = b * b
-                p = c - 3.0 * b2 / 8.0
-                q = d_ - b * c / 2.0 + b2 * b / 8.0
-                r = e - b * d_ / 4.0 + b2 * c / 16.0 - 3.0 * b2 * b2 / 256.0
-
-                # Resolvent cubic z^3 + 2p z^2 + (p^2-4r) z - q^2.
-                a2c = 2.0 * p
-                a1c = p * p - 4.0 * r
-                a0c = -q * q
-                pc = a1c - a2c * a2c / 3.0
-                qc = 2.0 * a2c ** 3 / 27.0 - a2c * a1c / 3.0 + a0c
-                half_q = qc / 2.0
-                third_p = pc / 3.0
-                disc = half_q * half_q + third_p ** 3
-                safe_tp = jnp.minimum(third_p, -1e-30)
-                mm = 2.0 * jnp.sqrt(-safe_tp)
-                cos_arg = jnp.clip(
-                    3.0 * qc / (pc * jnp.where(pc == 0.0, 1.0, mm)), -1.0, 1.0
-                )
-                phi = _acos(cos_arg)
-                z_trig = mm * jnp.cos(phi / 3.0) - a2c / 3.0
-                sqd = jnp.sqrt(jnp.maximum(disc, 0.0))
-                u_c = _cbrt(-half_q + sqd)
-                v_c = _cbrt(-half_q - sqd)
-                z_card = u_c + v_c - a2c / 3.0
-                z = jnp.where(disc > 0.0, z_card, z_trig)
-                for _ in range(2):  # polish resolvent (Cardano cancellation)
-                    fz = ((z + a2c) * z + a1c) * z + a0c
-                    fpz = (3.0 * z + 2.0 * a2c) * z + a1c
-                    z = z - fz / jnp.where(fpz == 0.0, 1.0, fpz)
-                z = jnp.maximum(z, 0.0)
-
-                sz = jnp.sqrt(z)
-                biquad = z < 1e-6 * (1.0 + jnp.abs(p))
-                s_safe = jnp.where(biquad, 1.0, sz)
-                half = (p + z) / 2.0
-                shift = q / (2.0 * s_safe)
-                c1 = half - shift
-                c2q = half + shift
-
-                d1 = sz * sz - 4.0 * c1
-                ok12 = d1 >= 0.0
-                sq1 = jnp.sqrt(jnp.maximum(d1, 0.0))
-                u1 = (-sz - sq1) / 2.0
-                u2 = (-sz + sq1) / 2.0
-                d2 = sz * sz - 4.0 * c2q
-                ok34 = d2 >= 0.0
-                sq2 = jnp.sqrt(jnp.maximum(d2, 0.0))
-                u3 = (sz - sq2) / 2.0
-                u4 = (sz + sq2) / 2.0
-
-                ydisc = p * p - 4.0 * r
-                okb = ydisc >= 0.0
-                ysq = jnp.sqrt(jnp.maximum(ydisc, 0.0))
-                y1 = (-p - ysq) / 2.0
-                y2 = (-p + ysq) / 2.0
-                okb1 = okb & (y1 >= 0.0)
-                okb2 = okb & (y2 >= 0.0)
-                r1s = jnp.sqrt(jnp.maximum(y1, 0.0))
-                r2s = jnp.sqrt(jnp.maximum(y2, 0.0))
-
-                # NB: bool selects lower as 1-bit select_n, which Mosaic
-                # rejects — use logic ops.
-                sel_ok = lambda okb_, okf: (biquad & okb_) | (~biquad & okf)
-                best = jnp.full((B, C), INF, dtype)
-                for u, ok in (
-                    (jnp.where(biquad, -r1s, u1), sel_ok(okb1, ok12)),
-                    (jnp.where(biquad, r1s, u2), sel_ok(okb1, ok12)),
-                    (jnp.where(biquad, -r2s, u3), sel_ok(okb2, ok34)),
-                    (jnp.where(biquad, r2s, u4), sel_ok(okb2, ok34)),
-                ):
-                    t = u - b / 4.0
-                    for _ in range(3):  # Newton polish (float32 robustness)
-                        fv = (((A * t + Bq) * t + C4) * t + D) * t + E
-                        fp = ((4.0 * A * t + 3.0 * Bq) * t + 2.0 * C4) * t + D
-                        t = t - fv / jnp.where(fp == 0.0, 1.0, fp)
-                    valid = ok & in_range(t, t_min_e)
-                    t = jnp.where(valid, t, INF)
-                    best = jnp.where(t < best, t, best)
-                return best
-
-            # --- specialized kinds (transform baked out at pack time) ------
-            def tri_w():
-                # Shirley/Cramer (triangle.rs:39-80) on world-space
-                # vertices: rows 0..2 = a, 3..5 = e1, 6..8 = e2.
-                ax_, ay_, az_ = row(0), row(1), row(2)
-                A, B_, C_ = row(3), row(4), row(5)
-                D, E, F = row(6), row(7), row(8)
-                G, H, I = dx, dy, dz
-                J, K, L = ax_ - ox, ay_ - oy, az_ - oz
-                ei_hf = E * I - H * F
-                gf_di = G * F - D * I
-                dh_eg = D * H - E * G
-                M = A * ei_hf + B_ * gf_di + C_ * dh_eg
-                iM = 1.0 / jnp.where(M == 0.0, 1.0, M)
-                ak_jb = A * K - J * B_
-                jc_al = J * C_ - A * L
-                bl_ck = B_ * L - C_ * K
-                t = -(F * ak_jb + E * jc_al + D * bl_ck) * iM
-                gamma = (I * ak_jb + H * jc_al + G * bl_ck) * iM
-                beta = (J * ei_hf + K * gf_di + L * dh_eg) * iM
-                ok = (
-                    (M != 0.0)
-                    & in_range(t, tminb)
-                    & ~(gamma < 0.0) & ~(gamma > 1.0)
-                    & ~(beta < 0.0) & ~(beta > 1.0 - gamma)
-                )
+            def chunk_t(pos, kind):
+                """Candidate t [B,C] for the chunk at sorted position `pos` of
+                this block's slab row.  `kind` is STATIC — only that kind's
+                branch is traced (no runtime dispatch, absent kinds compile to
+                nothing)."""
+                cid = cand_ref[0, 0, pos]
+                c0 = pl.multiple_of(cid * C, C)
+                row = lambda r: pf_ref[r, pl.ds(c0, C)].reshape(1, C)
+                node = pid_ref[0, pl.ds(c0, C)].reshape(1, C)
                 if use_src:
-                    # A ray leaving a planar triangle never legitimately
-                    # re-hits it: exclude the source pair outright.
-                    ok = ok & ~is_src
-                return jnp.where(ok, t, INF)
-
-            def sphere_w():
-                # World sphere (uniform-similarity nodes): roots of
-                # t^2 + 2 (o-c).d t + |o-c|^2 - r^2 (|d| == 1).
-                ocx = ox - row(0)
-                ocy = oy - row(1)
-                ocz = oz - row(2)
-                b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
-                c = ocx * ocx + ocy * ocy + ocz * ocz - row(3)
-                if use_src:
-                    t_self = self_eps_local * row(4)
-                    t_min_e = jnp.where(
-                        is_src, jnp.maximum(tminb, t_self), tminb)
+                    tri = pid_ref[1, pl.ds(c0, C)].reshape(1, C)
+                    is_src = (node == src_i) & (tri == srct_i)
                 else:
-                    t_min_e = tminb
-                return _unit_sphere_root(b, c, t_min_e, tmaxb)
+                    is_src = jnp.zeros((B, C), bool)
 
-            def aabox():
-                # Slab test on the pack-time-inflated world box: entry face
-                # if in range, else exit face — the accepted-hit semantics
-                # of the 6-face fold (cube.rs:70-82).
-                t1x = (row(0) - ox) * rdx
-                t2x = (row(3) - ox) * rdx
-                t1y = (row(1) - oy) * rdy
-                t2y = (row(4) - oy) * rdy
-                t1z = (row(2) - oz) * rdz
-                t2z = (row(5) - oz) * rdz
-                ten = jnp.maximum(jnp.maximum(
-                    jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                    jnp.minimum(t1z, t2z))
-                tex = jnp.minimum(jnp.minimum(
-                    jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                    jnp.maximum(t1z, t2z))
-                if use_src:
-                    dlx = dx * row(6)
-                    dly = dy * row(7)
-                    dlz = dz * row(8)
-                    ld2 = dlx * dlx + dly * dly + dlz * dlz
+                def general_tmin(ld2):
+                    """Self-eps raise in local units (config.self_eps_local)."""
+                    if not use_src:
+                        return tminb
                     t_self = self_eps_local * jax.lax.rsqrt(
                         jnp.maximum(ld2, 1e-30))
-                    t_min_e = jnp.where(
-                        is_src, jnp.maximum(tminb, t_self), tminb)
-                else:
-                    t_min_e = tminb
-                t = jnp.where(ten >= t_min_e, ten, tex)
-                ok = (ten <= tex) & in_range(t, t_min_e)
-                return jnp.where(ok, t, INF)
+                    return jnp.where(is_src, jnp.maximum(tminb, t_self), tminb)
 
-            branches = (sphere_g, plane_g, cube_g, cylinder_g, cone_g,
-                        tri_w, torus_g, sphere_w, aabox)
-            t = jax.lax.switch(kind, branches)
-            return jnp.where((node >= 0) & act, t, INF)
+                def local_frame():
+                    m = [row(r) for r in range(12)]
+                    lox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+                    loy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+                    loz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+                    ldx = m[0] * dx + m[1] * dy + m[2] * dz
+                    ldy = m[4] * dx + m[5] * dy + m[6] * dz
+                    ldz = m[8] * dx + m[9] * dy + m[10] * dz
+                    return lox, loy, loz, ldx, ldy, ldz
 
-        def read_te(ci):
-            return te_ref[0, 0, jnp.minimum(ci, SCp - 1)]
+                # --- general kinds (world->local affine) -----------------------
+                def sphere_g():
+                    lox, loy, loz, ldx, ldy, ldz = local_frame()
+                    a = ldx * ldx + ldy * ldy + ldz * ldz
+                    b = 2.0 * (lox * ldx + loy * ldy + loz * ldz)
+                    c = lox * lox + loy * loy + loz * loz - 1.0
+                    return _smallest_root(a, b, c, general_tmin(a), tmaxb)
 
-        if any_hit:
-            def cond(state):
-                ci, fnd = state
-                pending = act1 & (fnd == 0)
-                ub = jnp.max(jnp.where(pending, tmax1, neg_big))
-                tec = read_te(ci)
-                return ((ci < SCp) & jnp.any(pending)
-                        & (tec <= ub) & (tec < INF))
+                def plane_g():
+                    lox, loy, loz, ldx, ldy, ldz = local_frame()
+                    t = _gd(-loy, ldy)
+                    px = lox + t * ldx
+                    pz = loz + t * ldz
+                    r = 0.5 + eps
+                    ld2 = ldx * ldx + ldy * ldy + ldz * ldz
+                    ok = (in_range(t, general_tmin(ld2))
+                          & (jnp.abs(px) <= r) & (jnp.abs(pz) <= r))
+                    return jnp.where(ok, t, INF)
 
-            def body(state):
-                # 2-wide unroll: two chunks per iteration overlap their
-                # row loads/compute and halve loop-control serialization
-                # (cond's SMEM read + reduce is a pipeline flush).  The
-                # second chunk may be past the exit point — evaluating a
-                # culled/extra chunk is safe (conservative cull => it can
-                # only produce misses) and merely wastes one step.
-                ci, fnd = state
-                hit_any = jnp.zeros((B, 1), bool)
-                for k in range(2):
-                    idx = jnp.minimum(ci + k, SCp - 1)
-                    t = chunk_t(cand_ref[0, 0, idx])
-                    t = jnp.where(ci + k < SCp, t, INF)
-                    hit_any = hit_any | (
-                        jnp.min(t, axis=1, keepdims=True) < INF)
-                return ci + 2, jnp.maximum(fnd, hit_any.astype(jnp.int32))
+                def cube_g():
+                    lox, loy, loz, ldx, ldy, ldz = local_frame()
+                    r = 0.5 + eps
+                    o3 = (lox, loy, loz)
+                    d3 = (ldx, ldy, ldz)
+                    ld2 = ldx * ldx + ldy * ldy + ldz * ldz
+                    t_min_e = general_tmin(ld2)
+                    best = jnp.full((B, C), INF, dtype)
+                    # FACES order of cube.rs:46-65 (sign-folded plane solve).
+                    # Containment skips the solved axis (on-plane by
+                    # construction; f32-robust for thin scales — see
+                    # intersect._cube_face_fold).
+                    p3 = lambda t: (lox + t * ldx, loy + t * ldy, loz + t * ldz)
+                    for axis, sign in ((0, 0.5), (0, -0.5), (1, 0.5), (1, -0.5),
+                                       (2, 0.5), (2, -0.5)):
+                        sg = 1.0 if sign > 0 else -1.0
+                        t = _gd(-(o3[axis] - sign) * sg, d3[axis] * sg)
+                        p = p3(t)
+                        contains = jnp.ones((B, C), bool)
+                        for ax in range(3):
+                            if ax != axis:
+                                contains = contains & (jnp.abs(p[ax]) <= r)
+                        ok = in_range(t, t_min_e) & contains & (t < best)
+                        best = jnp.where(ok, t, best)
+                    return best
 
-            _, fnd = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), fnd_ref[0]))
-            fnd_ref[0] = fnd
-        else:
-            def cond(state):
-                ci, bp, _ = state
-                # Safe per-ray upper bound on the true best t: the packed
-                # key rounds t's low 7 mantissa bits down, so | 127 rounds
-                # up; clamp misses back to exactly +inf (else NaN bits).
-                t_up = pltpu.bitcast(
-                    jnp.minimum(jax.lax.bitwise_or(bp, 127), INF_BITS),
-                    jnp.float32)
-                ub = jnp.max(jnp.where(
-                    act1, jnp.minimum(t_up, tmax1), neg_big))
-                tec = read_te(ci)
-                return (ci < SCp) & has_act & (tec <= ub) & (tec < INF)
+                def cylinder_g():
+                    lox, loy, loz, ldx, ldy, ldz = local_frame()
+                    R2 = 0.25
+                    a = ldx * ldx + ldz * ldz
+                    b = 2.0 * (lox * ldx + loz * ldz)
+                    c = lox * lox + loz * loz - R2
+                    ld2 = a + ldy * ldy
+                    t_min_e = general_tmin(ld2)
+                    t_body = _smallest_root(a, b, c, t_min_e, tmaxb)
+                    y = loy + t_body * ldy
+                    best = jnp.where(~(y > 0.5) & ~(y < -0.5), t_body, INF)
+                    for h in (0.5, -0.5):
+                        t = _gd(h - loy, ldy)
+                        px = lox + t * ldx
+                        pz = loz + t * ldz
+                        ok = in_range(t, t_min_e) & ~(px * px + pz * pz > R2)
+                        t = jnp.where(ok, t, INF)
+                        best = jnp.where(t < best, t, best)
+                    return best
 
-            def body(state):
-                # 2-wide unroll (see any_hit body).  Sequential fold with
-                # strict < keeps the earlier candidate winning ties.
-                ci, bp, bc = state
-                for k in range(2):
-                    idx = jnp.minimum(ci + k, SCp - 1)
-                    t = chunk_t(cand_ref[0, 0, idx])
-                    t = jnp.where(ci + k < SCp, t, INF)
+                def cone_g():
+                    lox, loy, loz, ldx, ldy, ldz = local_frame()
+                    H = 1.0
+                    h2 = H * H
+                    r2 = 0.25
+                    a = 4.0 * ldy * ldy * r2 - 4.0 * h2 * (ldx * ldx + ldz * ldz)
+                    b = (-8.0 * h2 * (ldx * lox + ldz * loz)
+                         - 4.0 * r2 * (ldy * H - 2.0 * ldy * loy))
+                    c = (-4.0 * h2 * (lox * lox + loz * loz)
+                         + r2 * (h2 - 4.0 * H * loy + 4.0 * loy * loy))
+                    ld2 = ldx * ldx + ldy * ldy + ldz * ldz
+                    t_min_e = general_tmin(ld2)
+                    t_body = _smallest_root(a, b, c, t_min_e, tmaxb)
+                    y = loy + t_body * ldy
+                    t_body = jnp.where(~(y > 0.5) & ~(y < -0.5), t_body, INF)
+                    t_cap = _gd(-0.5 - loy, ldy)
+                    px = lox + t_cap * ldx
+                    pz = loz + t_cap * ldz
+                    okc = in_range(t_cap, t_min_e) & ~(px * px + pz * pz > r2)
+                    t_cap = jnp.where(okc, t_cap, INF)
+                    return jnp.where(t_cap < t_body, t_cap, t_body)
+
+                def torus_g():
+                    # Quartic torus (primitive/torus.rs:56-110); radii in rows
+                    # 12..13.  Ferrari + Newton polish, written without stacked
+                    # axes for Mosaic (see math3d.quartic_roots).
+                    lox, loy, loz, ldx, ldy, ldz = local_frame()
+                    c_r, a_r = row(12), row(13)
+                    dd = ldx * ldx + ldy * ldy + ldz * ldz
+                    pp = lox * lox + loy * loy + loz * loz
+                    dp = ldx * lox + ldy * loy + ldz * loz
+                    t_min_e = general_tmin(dd)
+                    a2 = a_r * a_r
+                    c2 = c_r * c_r
+                    k = pp - (a2 + c2)
+                    A = dd * dd
+                    Bq = 4.0 * dd * dp
+                    C4 = 2.0 * dd * k + 4.0 * dp * dp + 4.0 * c2 * ldy * ldy
+                    D = 4.0 * k * dp + 8.0 * c2 * loy * ldy
+                    E = k * k - 4.0 * c2 * (a2 - loy * loy)
+
+                    safe_A = jnp.where(A == 0.0, 1.0, A)
+                    b = Bq / safe_A
+                    c = C4 / safe_A
+                    d_ = D / safe_A
+                    e = E / safe_A
+                    b2 = b * b
+                    p = c - 3.0 * b2 / 8.0
+                    q = d_ - b * c / 2.0 + b2 * b / 8.0
+                    r = e - b * d_ / 4.0 + b2 * c / 16.0 - 3.0 * b2 * b2 / 256.0
+
+                    # Resolvent cubic z^3 + 2p z^2 + (p^2-4r) z - q^2.
+                    a2c = 2.0 * p
+                    a1c = p * p - 4.0 * r
+                    a0c = -q * q
+                    pc = a1c - a2c * a2c / 3.0
+                    qc = 2.0 * a2c ** 3 / 27.0 - a2c * a1c / 3.0 + a0c
+                    half_q = qc / 2.0
+                    third_p = pc / 3.0
+                    disc = half_q * half_q + third_p ** 3
+                    safe_tp = jnp.minimum(third_p, -1e-30)
+                    mm = 2.0 * jnp.sqrt(-safe_tp)
+                    cos_arg = jnp.clip(
+                        3.0 * qc / (pc * jnp.where(pc == 0.0, 1.0, mm)), -1.0, 1.0
+                    )
+                    phi = _acos(cos_arg)
+                    z_trig = mm * jnp.cos(phi / 3.0) - a2c / 3.0
+                    sqd = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    u_c = _cbrt(-half_q + sqd)
+                    v_c = _cbrt(-half_q - sqd)
+                    z_card = u_c + v_c - a2c / 3.0
+                    z = jnp.where(disc > 0.0, z_card, z_trig)
+                    for _ in range(2):  # polish resolvent (Cardano cancellation)
+                        fz = ((z + a2c) * z + a1c) * z + a0c
+                        fpz = (3.0 * z + 2.0 * a2c) * z + a1c
+                        z = z - fz / jnp.where(fpz == 0.0, 1.0, fpz)
+                    z = jnp.maximum(z, 0.0)
+
+                    sz = jnp.sqrt(z)
+                    biquad = z < 1e-6 * (1.0 + jnp.abs(p))
+                    s_safe = jnp.where(biquad, 1.0, sz)
+                    half = (p + z) / 2.0
+                    shift = q / (2.0 * s_safe)
+                    c1 = half - shift
+                    c2q = half + shift
+
+                    d1 = sz * sz - 4.0 * c1
+                    ok12 = d1 >= 0.0
+                    sq1 = jnp.sqrt(jnp.maximum(d1, 0.0))
+                    u1 = (-sz - sq1) / 2.0
+                    u2 = (-sz + sq1) / 2.0
+                    d2 = sz * sz - 4.0 * c2q
+                    ok34 = d2 >= 0.0
+                    sq2 = jnp.sqrt(jnp.maximum(d2, 0.0))
+                    u3 = (sz - sq2) / 2.0
+                    u4 = (sz + sq2) / 2.0
+
+                    ydisc = p * p - 4.0 * r
+                    okb = ydisc >= 0.0
+                    ysq = jnp.sqrt(jnp.maximum(ydisc, 0.0))
+                    y1 = (-p - ysq) / 2.0
+                    y2 = (-p + ysq) / 2.0
+                    okb1 = okb & (y1 >= 0.0)
+                    okb2 = okb & (y2 >= 0.0)
+                    r1s = jnp.sqrt(jnp.maximum(y1, 0.0))
+                    r2s = jnp.sqrt(jnp.maximum(y2, 0.0))
+
+                    # NB: bool selects lower as 1-bit select_n, which Mosaic
+                    # rejects — use logic ops.
+                    sel_ok = lambda okb_, okf: (biquad & okb_) | (~biquad & okf)
+                    best = jnp.full((B, C), INF, dtype)
+                    for u, ok in (
+                        (jnp.where(biquad, -r1s, u1), sel_ok(okb1, ok12)),
+                        (jnp.where(biquad, r1s, u2), sel_ok(okb1, ok12)),
+                        (jnp.where(biquad, -r2s, u3), sel_ok(okb2, ok34)),
+                        (jnp.where(biquad, r2s, u4), sel_ok(okb2, ok34)),
+                    ):
+                        t = u - b / 4.0
+                        for _ in range(3):  # Newton polish (float32 robustness)
+                            fv = (((A * t + Bq) * t + C4) * t + D) * t + E
+                            fp = ((4.0 * A * t + 3.0 * Bq) * t + 2.0 * C4) * t + D
+                            t = t - fv / jnp.where(fp == 0.0, 1.0, fp)
+                        valid = ok & in_range(t, t_min_e)
+                        t = jnp.where(valid, t, INF)
+                        best = jnp.where(t < best, t, best)
+                    return best
+
+                # --- specialized kinds (transform baked out at pack time) ------
+                def tri_w():
+                    # Shirley/Cramer (triangle.rs:39-80) on world-space
+                    # vertices: rows 0..2 = a, 3..5 = e1, 6..8 = e2.
+                    ax_, ay_, az_ = row(0), row(1), row(2)
+                    A, B_, C_ = row(3), row(4), row(5)
+                    D, E, F = row(6), row(7), row(8)
+                    G, H, I = dx, dy, dz
+                    J, K, L = ax_ - ox, ay_ - oy, az_ - oz
+                    ei_hf = E * I - H * F
+                    gf_di = G * F - D * I
+                    dh_eg = D * H - E * G
+                    M = A * ei_hf + B_ * gf_di + C_ * dh_eg
+                    iM = 1.0 / jnp.where(M == 0.0, 1.0, M)
+                    ak_jb = A * K - J * B_
+                    jc_al = J * C_ - A * L
+                    bl_ck = B_ * L - C_ * K
+                    t = -(F * ak_jb + E * jc_al + D * bl_ck) * iM
+                    gamma = (I * ak_jb + H * jc_al + G * bl_ck) * iM
+                    beta = (J * ei_hf + K * gf_di + L * dh_eg) * iM
+                    ok = (
+                        (M != 0.0)
+                        & in_range(t, tminb)
+                        & ~(gamma < 0.0) & ~(gamma > 1.0)
+                        & ~(beta < 0.0) & ~(beta > 1.0 - gamma)
+                    )
+                    if use_src:
+                        # A ray leaving a planar triangle never legitimately
+                        # re-hits it: exclude the source pair outright.
+                        ok = ok & ~is_src
+                    return jnp.where(ok, t, INF)
+
+                def sphere_w():
+                    # World sphere (uniform-similarity nodes): roots of
+                    # t^2 + 2 (o-c).d t + |o-c|^2 - r^2 (|d| == 1).
+                    ocx = ox - row(0)
+                    ocy = oy - row(1)
+                    ocz = oz - row(2)
+                    b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+                    c = ocx * ocx + ocy * ocy + ocz * ocz - row(3)
+                    if use_src:
+                        t_self = self_eps_local * row(4)
+                        t_min_e = jnp.where(
+                            is_src, jnp.maximum(tminb, t_self), tminb)
+                    else:
+                        t_min_e = tminb
+                    return _unit_sphere_root(b, c, t_min_e, tmaxb)
+
+                def aabox():
+                    # Slab test on the pack-time-inflated world box: entry face
+                    # if in range, else exit face — the accepted-hit semantics
+                    # of the 6-face fold (cube.rs:70-82).
+                    t1x = (row(0) - ox) * rdx
+                    t2x = (row(3) - ox) * rdx
+                    t1y = (row(1) - oy) * rdy
+                    t2y = (row(4) - oy) * rdy
+                    t1z = (row(2) - oz) * rdz
+                    t2z = (row(5) - oz) * rdz
+                    ten = jnp.maximum(jnp.maximum(
+                        jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                        jnp.minimum(t1z, t2z))
+                    tex = jnp.minimum(jnp.minimum(
+                        jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                        jnp.maximum(t1z, t2z))
+                    if use_src:
+                        dlx = dx * row(6)
+                        dly = dy * row(7)
+                        dlz = dz * row(8)
+                        ld2 = dlx * dlx + dly * dly + dlz * dlz
+                        t_self = self_eps_local * jax.lax.rsqrt(
+                            jnp.maximum(ld2, 1e-30))
+                        t_min_e = jnp.where(
+                            is_src, jnp.maximum(tminb, t_self), tminb)
+                    else:
+                        t_min_e = tminb
+                    t = jnp.where(ten >= t_min_e, ten, tex)
+                    ok = (ten <= tex) & in_range(t, t_min_e)
+                    return jnp.where(ok, t, INF)
+
+                branches = (sphere_g, plane_g, cube_g, cylinder_g, cone_g,
+                            tri_w, torus_g, sphere_w, aabox)
+                t = branches[kind]()    # static python dispatch
+                return jnp.where((node >= 0) & act, t, INF)
+
+            def read_te(pos):
+                return te_ref[0, 0, pos]
+
+            if any_hit:
+                def fold_any(pos, kind, fnd):
+                    t = chunk_t(pos, kind)
+                    return jnp.maximum(
+                        fnd,
+                        (jnp.min(t, axis=1, keepdims=True) < INF).astype(
+                            jnp.int32),
+                    )
+
+                def run_slab(si):
+                    fnd = fnd_ref[0]
+                    for kind, off, cnt, swept in slab_ranges[si]:
+                        if not swept:   # short run: static unrolled sweep
+                            for k in range(cnt):
+                                fnd = fold_any(off + k, kind, fnd)
+                            continue
+
+                        def cond(state, off=off, cnt=cnt):
+                            ci, fnd = state
+                            pending = act1 & (fnd == 0)
+                            ub = jnp.max(jnp.where(pending, tmax1, neg_big))
+                            tec = read_te(off + jnp.minimum(ci, cnt - 1))
+                            return ((ci < cnt) & jnp.any(pending)
+                                    & (tec <= ub) & (tec < INF))
+
+                        def body(state, off=off, cnt=cnt, kind=kind):
+                            # 2-wide unroll: two chunks per iteration overlap
+                            # their row loads/compute and halve loop-control
+                            # serialization (cond's SMEM read + reduce is a
+                            # pipeline flush).  The second chunk may be past
+                            # the exit point — evaluating an extra chunk is
+                            # safe (it can only produce misses).
+                            ci, fnd = state
+                            for k in range(2):
+                                pos = off + jnp.minimum(ci + k, cnt - 1)
+                                t = chunk_t(pos, kind)
+                                t = jnp.where(ci + k < cnt, t, INF)
+                                fnd = jnp.maximum(
+                                    fnd,
+                                    (jnp.min(t, axis=1, keepdims=True)
+                                     < INF).astype(jnp.int32),
+                                )
+                            return ci + 2, fnd
+
+                        _, fnd = jax.lax.while_loop(
+                            cond, body, (jnp.int32(0), fnd))
+                    fnd_ref[0] = fnd
+
+            else:
+                def fold_near(pos, kind, cand_id, bp, bc):
+                    t = chunk_t(pos, kind)
                     tb = pltpu.bitcast(t, jnp.int32)
                     packed = jax.lax.bitwise_or(
                         jax.lax.bitwise_and(tb, -128), lanes)
-                    pmin = jnp.min(packed, axis=1, keepdims=True)   # [B,1]
+                    pmin = jnp.min(packed, axis=1, keepdims=True)       # [B,1]
                     better = pmin < bp
                     bp = jnp.where(better, pmin, bp)
-                    bc = jnp.where(better, s * SCp + ci + k, bc)
-                return ci + 2, bp, bc
+                    bc = jnp.where(better, cand_id, bc)
+                    return bp, bc
 
-            _, bp, bc = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), bp_ref[0], bc_ref[0]))
-            bp_ref[0] = bp
-            bc_ref[0] = bc
+                def run_slab(si):
+                    bp = bp_ref[0]
+                    bc = bc_ref[0]
+                    for kind, off, cnt, swept in slab_ranges[si]:
+                        if not swept:   # short run: static unrolled sweep
+                            for k in range(cnt):
+                                bp, bc = fold_near(
+                                    off + k, kind,
+                                    jnp.int32(si * SC + off + k), bp, bc)
+                            continue
+
+                        def cond(state, off=off, cnt=cnt):
+                            ci, bp, _ = state
+                            # Safe per-ray upper bound on the true best t: the
+                            # packed key rounds t's low 7 mantissa bits down,
+                            # so | 127 rounds up; clamp misses back to exactly
+                            # +inf (else NaN bits).
+                            t_up = pltpu.bitcast(
+                                jnp.minimum(
+                                    jax.lax.bitwise_or(bp, 127), INF_BITS),
+                                jnp.float32)
+                            ub = jnp.max(jnp.where(
+                                act1, jnp.minimum(t_up, tmax1), neg_big))
+                            tec = read_te(off + jnp.minimum(ci, cnt - 1))
+                            return ((ci < cnt) & has_act
+                                    & (tec <= ub) & (tec < INF))
+
+                        def body(state, si=si, off=off, cnt=cnt, kind=kind):
+                            # 2-wide unroll (see any_hit).  Sequential fold
+                            # with strict < keeps the earlier candidate
+                            # winning ties.
+                            ci, bp, bc = state
+                            for k in range(2):
+                                idx = jnp.minimum(ci + k, cnt - 1)
+                                t = chunk_t(off + idx, kind)
+                                t = jnp.where(ci + k < cnt, t, INF)
+                                tb = pltpu.bitcast(t, jnp.int32)
+                                packed = jax.lax.bitwise_or(
+                                    jax.lax.bitwise_and(tb, -128), lanes)
+                                pmin = jnp.min(packed, axis=1, keepdims=True)
+                                better = pmin < bp
+                                bp = jnp.where(better, pmin, bp)
+                                bc = jnp.where(better, si * SC + off + idx, bc)
+                            return ci + 2, bp, bc
+
+                        _, bp, bc = jax.lax.while_loop(
+                            cond, body, (jnp.int32(0), bp, bc))
+                    bp_ref[0] = bp
+                    bc_ref[0] = bc
+
+            if Nslab == 1:
+                pl.when(has_act)(lambda: run_slab(0))
+            else:
+                # Per-slab static range lists: each slab's sweep code runs
+                # under pl.when(s == si) — compile cost is the sum of
+                # range bodies, not a switch x unroll product.
+                for si in range(Nslab):
+                    pl.when((s == si) & has_act)(
+                        lambda si=si: run_slab(si))
+
+        _alive()
 
     return kernel
 
@@ -638,22 +708,67 @@ def intersect_scene_pallas(
     SC = min(Nc, cfg.pallas_slab_chunks)
     Ncp = -(-Nc // SC) * SC
     Nslab = Ncp // SC
-    pf, pid, kind_pad = pk.f32, pk.ids, pk.chunk_kind
+    pf, pid = pk.f32, pk.ids
     if Ncp > Nc:
         extra = Ncp - Nc
         t_enter = jnp.pad(t_enter, ((0, 0), (0, extra)), constant_values=INF)
-        kind_pad = jnp.pad(kind_pad, (0, extra))
         pf = jnp.pad(pf, ((0, 0), (0, extra * C)))
         pid = jnp.pad(pid, ((0, 0), (0, extra * C)), constant_values=-1)
 
-    te = t_enter.reshape(NB, Nslab, SC)
-    order = jnp.argsort(te, axis=2).astype(jnp.int32)
-    te_s = jnp.take_along_axis(te, order, axis=2)
-    kinds_slab = jnp.broadcast_to(
-        kind_pad.reshape(Nslab, SC)[None], (NB, Nslab, SC)
-    )
-    kind_sorted = jnp.take_along_axis(kinds_slab, order, axis=2)
-    cand = order * (1 << KIND_BITS) + kind_sorted      # [NB, Nslab, SC]
+    ranges = pk.kind_ranges
+    if not ranges:
+        # Tables built before kind_ranges existed (stale caches): derive
+        # from chunk_kind — requires a concrete (non-traced) array.
+        import numpy as _np
+        ck = [int(k) for k in _np.asarray(pk.chunk_kind)]
+        ranges = []
+        for i, k in enumerate(ck):
+            if ranges and ranges[-1][0] == k:
+                ranges[-1][2] += 1
+            else:
+                ranges.append([k, i, 1])
+        ranges = tuple(tuple(r) for r in ranges)
+
+    # Split the global same-kind chunk runs at slab boundaries into
+    # per-slab static (kind, local_off, count, swept) lists; `swept` picks
+    # the ordered while_loop sweep over the static unrolled one.
+    slab_ranges = []
+    for si in range(Nslab):
+        lo, hi = si * SC, (si + 1) * SC
+        rs = []
+        for kind, g0, gcnt in ranges:
+            a, b = max(g0, lo), min(g0 + gcnt, hi)
+            if b > a:
+                rs.append((int(kind), a - lo, b - a,
+                           (b - a) > STATIC_SWEEP_MAX))
+        slab_ranges.append(tuple(rs))
+    slab_ranges = tuple(slab_ranges)
+
+    # Per-range front-to-back ordering: only `swept` ranges pay an argsort
+    # (short runs are evaluated unconditionally, in table order).
+    te3 = t_enter.reshape(NB, Nslab, SC)
+    te_rows, cand_rows = [], []
+    for si in range(Nslab):
+        pieces_te, pieces_cand, pos = [], [], 0
+        for kind, off, cnt, swept in slab_ranges[si]:
+            seg = te3[:, si, off:off + cnt]
+            if swept:
+                order = jnp.argsort(seg, axis=1).astype(jnp.int32)
+                pieces_te.append(jnp.take_along_axis(seg, order, axis=1))
+                pieces_cand.append(off + order)
+            else:
+                pieces_te.append(seg)
+                pieces_cand.append(jnp.broadcast_to(
+                    jnp.arange(off, off + cnt, dtype=jnp.int32)[None],
+                    (NB, cnt)))
+            pos += cnt
+        if pos < SC:  # slab-alignment padding chunks: never visited
+            pieces_te.append(jnp.full((NB, SC - pos), INF, dtype))
+            pieces_cand.append(jnp.zeros((NB, SC - pos), jnp.int32))
+        te_rows.append(jnp.concatenate(pieces_te, axis=1))
+        cand_rows.append(jnp.concatenate(pieces_cand, axis=1))
+    te_s = jnp.stack(te_rows, axis=1)        # [NB, Nslab, SC]
+    cand = jnp.stack(cand_rows, axis=1)      # [NB, Nslab, SC] local chunk id
 
     SCp = SC
     # 3-D with a unit middle axis: Mosaic requires a block's last two dims
@@ -677,8 +792,9 @@ def intersect_scene_pallas(
         axis=1,
     )                                                   # [NB, 16, B]
 
-    kernel = _make_kernel(B, SCp, Nslab, cfg.epsilon, cfg.self_eps_local,
-                          dtype, use_src, any_hit=any_hit)
+    kernel = _make_kernel(B, SC, Nslab, slab_ranges, cfg.epsilon,
+                          cfg.self_eps_local, dtype, use_src,
+                          any_hit=any_hit)
 
     rays_spec = pl.BlockSpec((1, 16, B), lambda b, s: (b, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -732,9 +848,10 @@ def intersect_scene_pallas(
     # (flat 1-D gathers — never materialize [R, candidates]).
     cand_flat = cand.reshape(NB * Nslab * SCp)
     block = jnp.arange(R0, dtype=jnp.int32) // B
-    sel = cand_flat[block * (Nslab * SCp) + jnp.maximum(bc, 0)]
+    bc_c = jnp.maximum(bc, 0)
+    sel = cand_flat[block * (Nslab * SCp) + bc_c]   # chunk id within slab
     lane = jax.lax.bitwise_and(bp, 127)
-    colid = jax.lax.shift_right_logical(sel, KIND_BITS) * C + lane
+    colid = ((bc_c // SCp) * SC + sel) * C + lane
     colid = jnp.clip(colid, 0, pid.shape[1] - 1)
     node = jnp.where(hit, pid[0, colid], -1)
     tri = jnp.where(hit, pid[1, colid], -1)

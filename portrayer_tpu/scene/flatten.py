@@ -83,6 +83,12 @@ class PackedPrims:
     chunk_min: jnp.ndarray   # [Nc,3] world AABB over chunk members
     chunk_max: jnp.ndarray   # [Nc,3]
     n_chunks: int = struct.field(pytree_node=False)
+    # Static (kind, chunk_start, chunk_count) runs: chunks of one packed
+    # kind are contiguous by construction, so the sweep kernel compiles one
+    # specialized sub-sweep per kind *present in the scene* — no runtime
+    # kind dispatch, and absent kinds (e.g. the big quartic torus path)
+    # cost zero compile time.
+    kind_ranges: tuple = struct.field(pytree_node=False, default=())
 
 
 def _part1by2(x: np.ndarray) -> np.ndarray:
@@ -264,9 +270,17 @@ def _build_packed(
     n_chunks = f_all.shape[0] // PACK_CHUNK
     chunk_min = amin_all.reshape(n_chunks, PACK_CHUNK, 3).min(axis=1)
     chunk_max = amax_all.reshape(n_chunks, PACK_CHUNK, 3).max(axis=1)
+    # Contiguous same-kind chunk runs (static metadata for the kernel).
+    ranges = []
+    for k in kinds:
+        if ranges and ranges[-1][0] == k:
+            ranges[-1][2] += 1
+        else:
+            ranges.append([k, sum(r[2] for r in ranges), 1])
     return (
         f_all.T, id_all.T.astype(np.int32),
         np.asarray(kinds, np.int32), chunk_min, chunk_max, n_chunks,
+        tuple(tuple(r) for r in ranges),
     )
 
 
@@ -694,7 +708,7 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
     tri_abc = np.concatenate(
         [tri["tri_a"], tri["tri_b"], tri["tri_c"]], axis=1
     )
-    pk_f32, pk_ids, pk_kind, pk_cmin, pk_cmax, pk_nc = _build_packed(
+    pk_f32, pk_ids, pk_kind, pk_cmin, pk_cmax, pk_nc, pk_ranges = _build_packed(
         groups, trans, inv, aabb_min, aabb_max,
         pair_node, pair_tri, pair_amin, pair_amax, pair_world,
         tri_abc, prim_params,
@@ -707,6 +721,7 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
     packed = PackedPrims(
         f32=f(pk_f32), ids=i32(pk_ids), chunk_kind=i32(pk_kind),
         chunk_min=f(pk_cmin), chunk_max=f(pk_cmax), n_chunks=pk_nc,
+        kind_ranges=pk_ranges,
     )
 
     return SceneTables(
