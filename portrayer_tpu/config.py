@@ -89,8 +89,12 @@ class RenderConfig:
 
     # Capacity of the bounce queue as a multiple of the primary ray count.
     # Whitted recursion can branch 2x per bounce (reflect+refract); children
-    # are kept by descending throughput when the queue overflows.
-    queue_factor: float = 1.0
+    # are kept by descending throughput when the queue overflows.  None
+    # (default) auto-sizes: 4x when the scene has refractive materials
+    # (each round emits 2 children and both branches carry energy — the
+    # reference never drops a child, src/material.rs:216-317), else 1x
+    # (reflect-only rounds emit at most one live child per parent).
+    queue_factor: Optional[float] = None
 
     # Rays with throughput below this are killed early (0 = strict parity).
     min_throughput: float = 0.0

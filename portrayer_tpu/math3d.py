@@ -41,10 +41,18 @@ def safe_sqrt(x, tiny=1e-30):
 def norm(v, eps=0.0):
     """|v|.  With eps, clamps |v|^2 to eps^2 *before* the sqrt so reverse
     mode stays finite at v = 0 (sqrt'(0) = inf would otherwise turn a
-    masked-out lane's zero cotangent into 0 * inf = NaN)."""
+    masked-out lane's zero cotangent into 0 * inf = NaN).
+
+    The clamp is floored at the smallest *normal* float32: eps = 1e-30
+    squares to 1e-60 which underflows to 0.0 in f32 (and TPUs flush
+    subnormals), silently disabling the guard — normalize(zero_vector)
+    then returns 0/0 = NaN.  This was the round-2 flagship NaN: castle
+    triangles with degenerate UVs (uva == uvb) produce an exactly-zero
+    bitangent, and the unguarded normalize poisoned the TBN and every
+    normal-mapped shade downstream."""
     s = dot(v, v)
     if eps:
-        s = jnp.maximum(s, eps * eps)
+        s = jnp.maximum(s, max(eps * eps, 1.2e-38))
     return jnp.sqrt(s)
 
 

@@ -170,7 +170,15 @@ def trace(
         src_tri=jnp.full((R0,), -1, jnp.int32),
     )
 
-    capacity = max(int(round(R0 * cfg.queue_factor)), 1)
+    # Auto-sized queue capacity: refractive scenes branch 2 live children
+    # per bounce, so the default capacity must grow or children get
+    # terminated with the background fallback — which visibly brightens
+    # refraction stacks (the reference never drops a child,
+    # src/material.rs:216-317).
+    qf = cfg.queue_factor
+    if qf is None:
+        qf = 4.0 if st.any_refractive else 1.0
+    capacity = max(int(round(R0 * qf)), 1)
 
     # Scenes with no reflective material never spawn children — statically
     # collapse to a single round (big compile/runtime saving).

@@ -112,14 +112,12 @@ def test_golden_slice(name):
 
 @pytest.mark.golden
 def test_golden_transmission_refraction():
-    """Refraction tower slice.  Needs queue_factor > 1: at the default the
-    2Q refraction children overflow and the lowest-throughput ones are
-    terminated with the background fallback, which visibly brightens the
-    glass stack (measured mean 0.043 @ qf=1 vs 0.026 @ qf=4)."""
-    cfg = RenderConfig(samples=32, tile=(64, 64), node_chunk=128,
-                       queue_factor=4.0)
+    """Refraction tower slice at the DEFAULT config: queue capacity
+    auto-sizes to 4x for refractive scenes (queue_factor=None), so the 2Q
+    refraction children no longer overflow and brighten the glass stack
+    (measured mean 0.043 @ qf=1 vs 0.026 @ qf=4)."""
     golden_slice("transmission-refraction", ((96, 192), (223, 319)),
-                 mean_tol=0.04, p95_tol=0.15, cfg=cfg)
+                 samples=32, mean_tol=0.04, p95_tol=0.15)
 
 
 @pytest.mark.golden

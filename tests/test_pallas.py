@@ -153,3 +153,47 @@ def test_pallas_mosaic_compiles_on_tpu():
         np.asarray(pal.t)[both][~mism], np.asarray(flat.t)[both][~mism],
         rtol=1e-4, atol=1e-5,
     )
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="needs a real TPU backend (PORTRAYER_TEST_PLATFORM=tpu)",
+)
+def test_castle_tpu_finite_and_matches_flat():
+    """Flagship correctness gate on the REAL TPU: a whole-image strided
+    castle trace through the production Mosaic kernel must be (a) finite
+    everywhere and (b) radiance-equivalent to the flat XLA sweep — the
+    reference's renders are finite u8 by construction (src/render.rs:143-147)
+    and its kd path is pixel-equivalent to brute force (kdmesh.rs:99-166).
+    This is the test the round-2 NaN (33/65536 castle rays) slipped past."""
+    from portrayer_tpu.ops.trace import trace
+
+    spec = scenes.load("graphics-castle")
+    w, h = spec.size
+    st = flatten_scene(spec.scene, dtype=jnp.float32)
+    cam = Camera(spec.camera, (w, h), dtype=jnp.float32)
+    idx = np.arange(0, w * h, 127)[:16384]
+    px = jnp.asarray((idx % w).astype(np.float32)) + 0.5
+    py = jnp.asarray((idx // w).astype(np.float32)) + 0.5
+    o, d = cam.rays_at(px, py)
+    P = int(o.shape[0])
+    pix = jnp.arange(P, dtype=jnp.int32)
+    bg = jnp.zeros((P, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    accs = {}
+    for accel in ("pallas", "flat"):
+        cfg = RenderConfig(samples=1, accel=accel, max_depth=3)
+        fn = jax.jit(lambda k, o, d, cfg=cfg: trace(
+            k, o, d, pix, bg, P, st, cfg, spp_contiguous=1))
+        accs[accel] = np.asarray(fn(key, o, d))
+        assert np.isfinite(accs[accel]).all(), (
+            f"{accel}: {(~np.isfinite(accs[accel])).any(axis=-1).sum()} "
+            "non-finite pixels")
+    diff = np.abs(accs["pallas"] - accs["flat"]).max(axis=-1)
+    # Tie-order divergence affects isolated rays only; radiance must agree
+    # everywhere else.
+    assert (diff > 5e-3).mean() < 2e-3, (
+        f"radiance mismatch on {(diff > 5e-3).sum()}/{P} rays "
+        f"(max {diff.max():.4g})")

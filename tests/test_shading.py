@@ -209,3 +209,41 @@ def test_area_light_soft_shadow():
     acc = trace(KEY, o, d, pix, bg, 1, st, CFG)
     mean = float(acc[0, 0]) / R
     assert 0.05 < mean < 0.95  # penumbra: neither fully lit nor fully dark
+
+
+def test_normalize_zero_vector_is_finite():
+    """Regression: normalize(0, eps=1e-30) must not NaN.  eps^2 = 1e-60
+    underflows to 0 in f32, silently disabling the norm clamp and giving
+    0/0 = NaN — the round-2 flagship NaN (castle TBN on degenerate-UV
+    triangles)."""
+    from portrayer_tpu import math3d as m3
+
+    for eps in (1e-30, 1e-20, 1e-10):
+        v = jnp.zeros((4, 3), jnp.float32)
+        out = np.asarray(m3.normalize(v, eps=eps))
+        assert np.isfinite(out).all(), f"eps={eps} produced {out[0]}"
+
+
+def test_degenerate_uv_triangle_tbn_finite():
+    """A triangle whose a/b vertices share one UV (as castle.obj tri 12871
+    does) has a zero bitangent; its TBN — and any normal-mapped shade —
+    must stay finite (src/primitive/triangle.rs:103-138 divides by the
+    uv-delta determinant; we guard instead of NaN-ing)."""
+    from portrayer_tpu.ops.intersect import _mesh_detail
+
+    trec = np.zeros((1, 26), np.float32)
+    trec[0, 0:3] = (0.0, 0.0, 0.0)    # a
+    trec[0, 3:6] = (1.0, 0.0, 0.0)    # b
+    trec[0, 6:9] = (0.0, 1.0, 0.0)    # c
+    trec[0, 18:20] = (0.25, 0.5)      # uva
+    trec[0, 20:22] = (0.25, 0.5)      # uvb == uva (degenerate)
+    trec[0, 22:24] = (0.75, 0.9)      # uvc
+    trec[0, 25] = 1.0                 # has_uv
+    lo = jnp.asarray([[0.2, 0.2, 1.0]], jnp.float32)
+    ld = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    n, uv, has_uv, nmt, has_nmt = _mesh_detail(
+        lo, ld, jnp.asarray(trec), jnp.zeros(1), jnp.full(1, jnp.inf),
+        jnp.float32,
+    )
+    assert np.isfinite(np.asarray(nmt)).all()
+    assert np.isfinite(np.asarray(n)).all()

@@ -26,14 +26,24 @@ from portrayer_tpu.ops.intersect import intersect_scene
 from portrayer_tpu.ops.trace import trace
 
 
-def timeit(f, *args, n=3):
+def timeit(f, *args, n=5):
+    """Median of per-call-synced wall times.
+
+    Each call is individually block_until_ready-ed: the round-2 verdict
+    found the pipelined variant (sync only after the last rep) reads
+    ~0.1 ms for a ~1 s computation on the remote-relay TPU backend —
+    the repeat dispatches were elided, so every per-op perf decision made
+    off it was wrong.  Per-call sync matches a hand-timed loop."""
     r = f(*args)
     jax.block_until_ready(r)
-    t0 = time.time()
+    times = []
     for _ in range(n):
+        t0 = time.perf_counter()
         r = f(*args)
-    jax.block_until_ready(r)
-    return (time.time() - t0) / n
+        jax.block_until_ready(r)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
 
 
 def main():
