@@ -1,0 +1,125 @@
+"""Bounce-round breakdown: where do the ~500ms/round of castle depth-10 go?
+
+Times trace at increasing max_depth (marginal round cost), prints live-ray
+counts per round, then times the pieces of one bounce round on the real
+round-1 child queue (intersect / detail / shade / compact / scatter)."""
+import os
+import sys
+import time
+
+os.environ.setdefault("SAMPLES", "1")
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import scenes
+from portrayer_tpu import RenderConfig, flatten_scene
+from portrayer_tpu.camera import Camera
+from portrayer_tpu.ops.intersect import intersect_scene, hit_detail
+from portrayer_tpu.ops.shade import shade_hits
+from portrayer_tpu.ops import trace as tr
+
+
+def timeit(f, *args, n=3):
+    r = f(*args)
+    jax.block_until_ready(r)
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        r = f(*args)
+        jax.block_until_ready(r)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+spec = scenes.load("graphics-castle")
+w, h = spec.size
+st = flatten_scene(spec.scene, dtype=jnp.float32)
+cam = Camera(spec.camera, (w, h), dtype=jnp.float32)
+R = 262144
+side = 512
+x0, y0 = (w - side) // 2, (h - side) // 2
+ys, xs = np.mgrid[y0:y0 + side, x0:x0 + side]
+px = jnp.asarray(xs.reshape(-1), jnp.float32) + 0.5
+py = jnp.asarray(ys.reshape(-1), jnp.float32) + 0.5
+o, d = cam.rays_at(px, py)
+pix = jnp.arange(R, dtype=jnp.int32)
+bg = jnp.zeros((R, 3), jnp.float32)
+key = jax.random.PRNGKey(0)
+
+# live rays per round
+cfg = RenderConfig(samples=1, accel="pallas", max_depth=10)
+acc, lives = jax.jit(lambda k, o, d: tr.trace(
+    k, o, d, pix, bg, R, st, cfg, spp_contiguous=1, with_stats=True))(key, o, d)
+print("live rays per round:", np.asarray(lives).tolist(), flush=True)
+
+for depth in (0, 1, 2, 3):
+    cfgd = RenderConfig(samples=1, accel="pallas", max_depth=depth)
+    f = jax.jit(lambda k, o, d, cfgd=cfgd: tr.trace(
+        k, o, d, pix, bg, R, st, cfgd, spp_contiguous=1))
+    dt = timeit(f, key, o, d)
+    print(f"trace depth={depth}: {dt*1e3:9.2f} ms", flush=True)
+
+# Build the round-1 child queue exactly as trace does.
+cfg0 = RenderConfig(samples=1, accel="pallas", max_depth=10)
+t_min = jnp.full((R,), cfg0.epsilon, jnp.float32)
+sn = jnp.full((R,), -1, jnp.int32)
+q = tr._Queue(o=o, d=d, w=jnp.ones((R,), jnp.float32), pix=pix,
+              t_min=t_min, src_node=sn, src_tri=sn)
+acc0 = jnp.zeros((R, 3), jnp.float32)
+
+
+@jax.jit
+def round0(q, acc):
+    return tr._round(q, acc, bg, st, cfg0, jax.random.fold_in(key, 0),
+                     is_last=False, spp_c=1)
+
+
+acc1, child = round0(q, acc0)
+jax.block_until_ready(child)
+print("child live:", int((np.asarray(child.w) > 0).sum()), "of",
+      child.w.shape[0], flush=True)
+
+compact = jax.jit(lambda c, a: tr._compact(c, R, a, bg))
+q1, acc1b = compact(child, acc1)
+print("q1 live:", int((np.asarray(q1.w) > 0).sum()), flush=True)
+
+print(f"_round on primary q:        {timeit(round0, q, acc0)*1e3:9.2f} ms",
+      flush=True)
+print(f"_compact 2R->R:             {timeit(compact, child, acc1)*1e3:9.2f} ms",
+      flush=True)
+
+
+@jax.jit
+def round1(q, acc):
+    return tr._round(q, acc, bg, st, cfg0, jax.random.fold_in(key, 1),
+                     is_last=False)
+
+
+print(f"_round on bounce q1:        {timeit(round1, q1, acc1b)*1e3:9.2f} ms",
+      flush=True)
+
+# pieces of the bounce round
+act1 = q1.w > 0.0
+isect = jax.jit(lambda q: intersect_scene(
+    q.o, q.d, q.t_min, jnp.inf, st, cfg0, active=q.w > 0,
+    src_node=q.src_node, src_tri=q.src_tri, exact_t=False))
+hit1 = isect(q1)
+print(f"  intersect(q1):            {timeit(isect, q1)*1e3:9.2f} ms",
+      flush=True)
+detf = jax.jit(lambda q, hit: hit_detail(
+    q.o, q.d, hit, st, cfg0, q.t_min,
+    src_node=q.src_node, src_tri=q.src_tri))
+det1 = detf(q1, hit1)
+print(f"  hit_detail(q1):           {timeit(detf, q1, hit1)*1e3:9.2f} ms",
+      flush=True)
+shf = jax.jit(lambda q, hit, det: shade_hits(
+    q.d, hit, det, st, cfg0, key, (q.w > 0) & hit.hit))
+print(f"  shade_hits(q1):           {timeit(shf, q1, hit1, det1)*1e3:9.2f} ms",
+      flush=True)
+scat = jax.jit(lambda acc, pix, x: acc.at[pix].add(x))
+x = jnp.ones((R, 3), jnp.float32)
+print(f"  scatter-add [R,3]:        {timeit(scat, acc0, q1.pix, x)*1e3:9.2f} ms",
+      flush=True)
