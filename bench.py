@@ -71,7 +71,8 @@ def bench_castle(fwd_bwd: bool, res=256, spp=1):
     from portrayer_tpu.parallel import make_mesh, train_step
 
     spec = scenes.load("graphics-castle")
-    cfg = RenderConfig(samples=spp, tile=(res, res))
+    cfg = RenderConfig(samples=spp, tile=(res, res),
+                       queue_caps=spec.queue_caps)
     st = _castle_tables(cfg)
     cam = Camera(spec.camera, spec.size, dtype=cfg.dtype)
     P_ = res * res
@@ -187,6 +188,10 @@ def _scaling_subprocess():
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # The container's sitecustomize (via PYTHONPATH) registers the remote
+    # TPU backend in every interpreter and overrides JAX_PLATFORMS; clear
+    # it so the subprocess really runs on the virtual CPU mesh.
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8").strip()
     out = subprocess.run(

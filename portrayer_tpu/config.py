@@ -96,6 +96,16 @@ class RenderConfig:
     # (reflect-only rounds emit at most one live child per parent).
     queue_factor: Optional[float] = None
 
+    # Per-round bounce-queue capacity schedule: round r's queue holds
+    # queue_caps[r-1] x primary-rays lanes (the last entry repeats for
+    # deeper rounds).  Live-ray counts decay fast on most scenes (castle:
+    # 6.5% after round 1, <2% after round 2 — measured), so a shrinking
+    # schedule cuts bounce-round cost by the capacity ratio; overflow
+    # falls back to the highest-throughput-survives policy.  None = flat
+    # queue_factor capacity every round (exact reference-parity default).
+    # Scene specs carry measured hints (scenes.SceneSpec.queue_caps).
+    queue_caps: Optional[Tuple[float, ...]] = None
+
     # Rays with throughput below this are killed early (0 = strict parity).
     min_throughput: float = 0.0
 

@@ -119,7 +119,12 @@ def _compact(child: _Queue, capacity: int, acc, bg):
     """Fit a child queue into `capacity` slots.  If it already fits, pad.
     Otherwise keep the highest-throughput children and terminate the rest
     with a background-colour fallback (adds their would-be contribution as
-    bg so energy isn't silently dropped)."""
+    bg so energy isn't silently dropped).
+
+    Selection is ORDER-PRESERVING: survivors keep their queue order
+    (children are emitted pixel-major), so the next round's ray blocks
+    stay spatially coherent.  top_k's weight-sorted gather would scramble
+    them and defeat the sweep's per-block culling."""
     n = child.w.shape[0]
     if n <= capacity:
         pad = capacity - n
@@ -134,12 +139,31 @@ def _compact(child: _Queue, capacity: int, acc, bg):
                 src_tri=jnp.pad(child.src_tri, (0, pad), constant_values=-1),
             )
         return child, acc
-    _, idx = jax.lax.top_k(child.w, capacity)
-    keep = jnp.zeros((n,), bool).at[idx].set(True)
-    dropped_w = jnp.where(keep, 0.0, child.w)
+    # Threshold = capacity-th largest weight; fill ties first-come so
+    # exactly `capacity` lanes are taken.
+    kth = jax.lax.top_k(child.w, capacity)[0][-1]
+    take_gt = child.w > kth
+    quota = capacity - jnp.sum(take_gt.astype(jnp.int32))
+    eq = child.w == kth
+    eq_rank = jnp.cumsum(eq.astype(jnp.int32))
+    take = take_gt | (eq & (eq_rank <= quota))
+    dropped_w = jnp.where(take, 0.0, child.w)
     acc = acc.at[child.pix].add(dropped_w[:, None] * bg[child.pix])
-    take = lambda x: x[idx]
-    return _Queue(*map(take, child)), acc
+    # Stable compaction: scatter row i to slot (#takes before i); dropped
+    # rows land in a trash slot past the end.
+    pos = jnp.cumsum(take.astype(jnp.int32)) - 1
+    tgt = jnp.where(take, pos, capacity)
+    place = lambda x, fill: (
+        jnp.full((capacity + 1,) + x.shape[1:], fill, x.dtype)
+        .at[tgt].set(x, mode="drop")[:capacity]
+    )
+    return _Queue(
+        o=place(child.o, 0.0), d=place(child.d, 1.0),
+        w=place(child.w, 0.0), pix=place(child.pix, 0),
+        t_min=place(child.t_min, 1.0),
+        src_node=place(child.src_node, -1),
+        src_tri=place(child.src_tri, -1),
+    ), acc
 
 
 def trace(
@@ -170,19 +194,26 @@ def trace(
         src_tri=jnp.full((R0,), -1, jnp.int32),
     )
 
-    # Auto-sized queue capacity: refractive scenes branch 2 live children
-    # per bounce, so the default capacity must grow or children get
-    # terminated with the background fallback — which visibly brightens
-    # refraction stacks (the reference never drops a child,
-    # src/material.rs:216-317).
-    qf = cfg.queue_factor
-    if qf is None:
-        qf = 4.0 if st.any_refractive else 1.0
-    capacity = max(int(round(R0 * qf)), 1)
-
     # Scenes with no reflective material never spawn children — statically
     # collapse to a single round (big compile/runtime saving).
     max_depth = cfg.max_depth if st.any_reflective else 0
+
+    # Per-round queue capacity schedule.  Whitted recursion branches 2x
+    # per bounce but live-ray counts decay fast on typical scenes (castle:
+    # 6.5% live after round 1, <2% after round 2), so flat full-capacity
+    # queues waste nearly all sweep/prologue work on dead lanes.
+    # cfg.queue_caps gives per-round capacity multiples of the primary ray
+    # count (scene specs carry measured hints); the auto default keeps the
+    # reference-exact policy (refractive scenes saturate 4x queues —
+    # measured on transmission-refraction — everything else fits in 1x).
+    caps = cfg.queue_caps
+    if caps is None:
+        if cfg.queue_factor is not None:
+            caps = (cfg.queue_factor,)
+        else:
+            caps = (4.0,) if st.any_refractive else (1.0,)
+    caps = tuple(caps) + (caps[-1],) * max(0, max_depth - len(caps))
+    cap_of = lambda r: max(int(round(R0 * caps[r - 1])), 8)
 
     # Round 0 (primary rays).
     n_live0 = jnp.sum(q.w > 0.0).astype(jnp.int32)
@@ -193,11 +224,22 @@ def trace(
             return acc, n_live0[None]
         return acc
 
-    q, acc = _compact(child, capacity, acc, bg)
+    q, acc = _compact(child, cap_of(1), acc, bg)
+    stats = [n_live0[None]]
 
-    # Rounds 1..max_depth with early-exit when the queue dies out.
-    def body(carry, ridx):
-        q, acc = carry
+    def _zero_queue(cap):
+        return _Queue(
+            o=jnp.zeros((cap, 3), dtype), d=jnp.ones((cap, 3), dtype),
+            w=jnp.zeros((cap,), dtype),
+            pix=jnp.zeros((cap,), jnp.int32),
+            t_min=jnp.ones((cap,), dtype),
+            src_node=jnp.full((cap,), -1, jnp.int32),
+            src_tri=jnp.full((cap,), -1, jnp.int32),
+        )
+
+    def round_r(q, acc, ridx, next_cap):
+        """One bounce round guarded by a live-queue check; compacts the
+        children to `next_cap` (static)."""
         n_live = jnp.sum(q.w > 0.0).astype(jnp.int32)
 
         def live(args):
@@ -206,18 +248,36 @@ def trace(
             acc2, child = _round(
                 q, acc, bg, st, cfg, rkey, is_last=(ridx == max_depth)
             )
-            q2, acc2 = _compact(child, capacity, acc2, bg)
-            return q2, acc2
+            return _compact(child, next_cap, acc2, bg)
 
         def dead(args):
-            return args
+            q, acc = args
+            return _zero_queue(next_cap), acc
 
         q, acc = jax.lax.cond(n_live > 0, live, dead, (q, acc))
+        return q, acc, n_live
+
+    # Head rounds with changing capacities run as specialized Python
+    # rounds (static shapes per round); the uniform-capacity tail shares
+    # ONE lax.scan body (compiled once) with dynamic early exit.
+    tail_start = max_depth
+    while tail_start > 1 and cap_of(tail_start - 1) == cap_of(max_depth):
+        tail_start -= 1
+
+    for r in range(1, tail_start):
+        q, acc, n_live = round_r(q, acc, r, cap_of(r + 1))
+        stats.append(n_live[None])
+
+    def body(carry, ridx):
+        q, acc = carry
+        q, acc, n_live = round_r(q, acc, ridx, cap_of(max_depth))
         return (q, acc), n_live
 
     (q, acc), n_lives = jax.lax.scan(
-        body, (q, acc), jnp.arange(1, max_depth + 1)
+        body, (q, acc), jnp.arange(tail_start, max_depth + 1)
     )
+    stats.append(n_lives)
+
     if with_stats:
-        return acc, jnp.concatenate([n_live0[None], n_lives])
+        return acc, jnp.concatenate(stats)
     return acc

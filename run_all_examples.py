@@ -41,7 +41,7 @@ def main():
         w = max(16, int(spec.size[0] * args.scale))
         h = max(16, int(spec.size[1] * args.scale))
         cfg = RenderConfig(samples=args.samples, tile=(args.tile, args.tile),
-                           accel=args.accel)
+                           accel=args.accel, queue_caps=spec.queue_caps)
         img = Image(os.path.join(args.out, f"{name}.png"), w, h)
         img.render(spec.scene, spec.camera, spec.background, cfg,
                    reporter=RenderProgress())

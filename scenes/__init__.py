@@ -19,6 +19,9 @@ class SceneSpec:
     background: Callable
     name: str
     golden: Optional[str] = None   # reference render PNG (in /root/reference/render)
+    # Measured per-round bounce-queue capacity hint (multiples of the
+    # primary ray count; see RenderConfig.queue_caps).  None = auto.
+    queue_caps: Optional[Tuple[float, ...]] = None
 
 
 _REGISTRY = {

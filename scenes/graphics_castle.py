@@ -251,4 +251,8 @@ def build() -> SceneSpec:
         up=(0.0, 1.0, 0.0), fovy=deg(24.0),
     )
     return SceneSpec(scene=scene, camera=cam, size=(1920, 1080),
-                     background=robot_background, name="graphics-castle")
+                     background=robot_background, name="graphics-castle",
+                     # Measured live-ray decay (512x512 center crop, TPU):
+                     # 6.5% after round 1, <2% after round 2 — see
+                     # tools/profile_round.py.  2x headroom per round.
+                     queue_caps=(1.0, 0.125, 0.0625))

@@ -114,6 +114,7 @@ def main():
         if args.skip_deep and depth:
             continue
         cfgd = RenderConfig(samples=1, accel="pallas", max_depth=depth,
+                            queue_caps=spec.queue_caps,
                             pallas_block=int(args.blocks.split(",")[0]))
         tf = jax.jit(lambda k, o, d, cfgd=cfgd: trace(
             k, o, d, pix, bg, R, st, cfgd, spp_contiguous=1))

@@ -18,7 +18,8 @@ from portrayer_tpu import RenderConfig, flatten_scene
 from portrayer_tpu.camera import Camera
 from portrayer_tpu.ops.intersect import intersect_scene, hit_detail
 from portrayer_tpu.ops.shade import shade_hits
-from portrayer_tpu.ops import trace as tr
+import importlib
+tr = importlib.import_module('portrayer_tpu.ops.trace')
 
 
 def timeit(f, *args, n=3):
