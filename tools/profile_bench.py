@@ -34,8 +34,9 @@ def timeit(f, *args, n=5):
     ~0.1 ms for a ~1 s computation on the remote-relay TPU backend —
     the repeat dispatches were elided, so every per-op perf decision made
     off it was wrong.  Per-call sync matches a hand-timed loop."""
-    r = f(*args)
-    jax.block_until_ready(r)
+    for _ in range(3):   # relay uploads host-sourced buffers lazily
+        r = f(*args)
+        jax.block_until_ready(r)
     times = []
     for _ in range(n):
         t0 = time.perf_counter()

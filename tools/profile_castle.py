@@ -28,17 +28,32 @@ from portrayer_tpu.ops.shade import shade_hits
 from portrayer_tpu.ops.trace import trace
 
 
-def timeit(f, *args, n=5):
-    r = f(*args)
-    jax.block_until_ready(r)
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        r = f(*args)
-        jax.block_until_ready(r)
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
+def timeit(f, *args, n=8):
+    """Pipelined per-call time over DISTINCT inputs (perturb the first
+    array arg per rep): per-call sync costs a ~25 ms relay round trip
+    once any heavy program has run, and identical repeats can be deduped
+    by the relay — streaming distinct inputs measures real throughput."""
+    import jax.numpy as _jnp
+
+    def vary(i):
+        a0 = args[0]
+        if hasattr(a0, "dtype") and a0.dtype in (_jnp.float32, _jnp.float64):
+            return (a0 + _jnp.asarray(1e-6 * (i + 1), a0.dtype),) + args[1:]
+        if hasattr(a0, "dtype"):  # PRNG key or int array
+            import jax as _jax
+            try:
+                return (_jax.random.fold_in(a0, i),) + args[1:]
+            except Exception:
+                return args
+        return args
+    for _ in range(2):
+        jax.block_until_ready(f(*args))
+    argsets = [vary(i) for i in range(n)]
+    jax.block_until_ready([a[0] for a in argsets])
+    t0 = time.perf_counter()
+    rs = [f(*a) for a in argsets]
+    jax.block_until_ready(rs)
+    return (time.perf_counter() - t0) / n
 
 
 def report(label, dt, nrays):

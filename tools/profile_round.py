@@ -22,17 +22,30 @@ import importlib
 tr = importlib.import_module('portrayer_tpu.ops.trace')
 
 
-def timeit(f, *args, n=3):
-    r = f(*args)
-    jax.block_until_ready(r)
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        r = f(*args)
-        jax.block_until_ready(r)
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
+def timeit(f, *args, n=8):
+    """Pipelined per-call time over DISTINCT inputs (vary the first array
+    arg per rep: floats get +eps, ints get a roll, PRNG keys fold_in) —
+    per-call sync costs ~25 ms relay RTT and identical repeats dedup."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    def vary(i):
+        a0 = args[0]
+        if not hasattr(a0, "dtype"):
+            return args
+        if a0.dtype in (_jnp.float32, _jnp.float64):
+            return (a0 + _jnp.asarray(1e-6 * (i + 1), a0.dtype),) + args[1:]
+        if a0.dtype == _jnp.uint32:
+            return (_jax.random.fold_in(a0, i),) + args[1:]
+        return (_jnp.roll(a0, i + 1),) + args[1:]
+    for _ in range(2):
+        jax.block_until_ready(f(*args))
+    argsets = [vary(i) for i in range(n)]
+    jax.block_until_ready([a[0] for a in argsets])
+    t0 = time.perf_counter()
+    rs = [f(*a) for a in argsets]
+    jax.block_until_ready(rs)
+    return (time.perf_counter() - t0) / n
 
 
 spec = scenes.load("graphics-castle")
