@@ -127,28 +127,25 @@ def _compact(child: _Queue, capacity: int, acc, bg):
     them and defeat the sweep's per-block culling."""
     n = child.w.shape[0]
     if n <= capacity:
-        pad = capacity - n
-        if pad:
-            child = _Queue(
-                o=jnp.pad(child.o, ((0, pad), (0, 0))),
-                d=jnp.pad(child.d, ((0, pad), (0, 0))),
-                w=jnp.pad(child.w, (0, pad)),
-                pix=jnp.pad(child.pix, (0, pad)),
-                t_min=jnp.pad(child.t_min, (0, pad), constant_values=1.0),
-                src_node=jnp.pad(child.src_node, (0, pad), constant_values=-1),
-                src_tri=jnp.pad(child.src_tri, (0, pad), constant_values=-1),
-            )
-        return child, acc
-    # Threshold = capacity-th largest weight; fill ties first-come so
-    # exactly `capacity` lanes are taken.
-    kth = jax.lax.top_k(child.w, capacity)[0][-1]
-    take_gt = child.w > kth
-    quota = capacity - jnp.sum(take_gt.astype(jnp.int32))
-    eq = child.w == kth
-    eq_rank = jnp.cumsum(eq.astype(jnp.int32))
-    take = take_gt | (eq & (eq_rank <= quota))
-    dropped_w = jnp.where(take, 0.0, child.w)
-    acc = acc.at[child.pix].add(dropped_w[:, None] * bg[child.pix])
+        # Everything fits: keep live lanes only, compacted to the front
+        # (dead sibling lanes are equivalent to padding, and leaving them
+        # interleaved would stop any block of the next round from being
+        # all-dead skippable).
+        take = child.w > 0.0
+    else:
+        # Threshold = capacity-th largest weight; fill ties first-come so
+        # at most `capacity` lanes are taken.  Dead lanes are never kept.
+        # Live survivors compact CONTIGUOUSLY to the front in queue
+        # order: coherent blocks at the head, skippable all-dead blocks
+        # at the tail.
+        kth = jax.lax.top_k(child.w, capacity)[0][-1]
+        take_gt = child.w > kth
+        quota = capacity - jnp.sum(take_gt.astype(jnp.int32))
+        eq = child.w == kth
+        eq_rank = jnp.cumsum(eq.astype(jnp.int32))
+        take = (take_gt | (eq & (eq_rank <= quota))) & (child.w > 0.0)
+        dropped_w = jnp.where(take, 0.0, child.w)
+        acc = acc.at[child.pix].add(dropped_w[:, None] * bg[child.pix])
     # Stable compaction: scatter row i to slot (#takes before i); dropped
     # rows land in a trash slot past the end.
     pos = jnp.cumsum(take.astype(jnp.int32)) - 1

@@ -253,6 +253,7 @@ def build() -> SceneSpec:
     return SceneSpec(scene=scene, camera=cam, size=(1920, 1080),
                      background=robot_background, name="graphics-castle",
                      # Measured live-ray decay (512x512 center crop, TPU):
-                     # 6.5% after round 1, <2% after round 2 — see
-                     # tools/profile_round.py.  2x headroom per round.
-                     queue_caps=(1.0, 0.125, 0.0625))
+                     # 6.5% after round 1, <2% after rounds 2+ — see
+                     # tools/profile_round.py.  ~2x headroom per round;
+                     # overflow keeps the highest-throughput children.
+                     queue_caps=(0.125, 0.03125))

@@ -57,4 +57,8 @@ def build() -> SceneSpec:
         up=(0.0, 1.0, 0.0), fovy=deg(23.0),
     )
     return SceneSpec(scene=scene, camera=cam, size=(910, 512),
-                     background=sky_background, name="water-glass")
+                     background=sky_background, name="water-glass",
+                     # Measured peak live children: 1.58x primaries at
+                     # round 1, decaying after (tools/profile_round.py
+                     # pattern) — 2x capacity never drops a child.
+                     queue_caps=(2.0,))

@@ -130,3 +130,43 @@ def test_golden_strict_parity_epsilons():
                        eps_rel=0.0, self_eps_local=0.0)
     golden_slice("primitives-simple", ((390, 220), (517, 347)),
                  mean_tol=0.008, p95_tol=0.015, cfg=cfg)
+
+
+# ---------------------------------------------------------------------------
+# Self-goldens: deterministic low-res renders of every scene WITHOUT a
+# comparable reference PNG, pinned against our own committed output
+# (tools/gen_self_goldens.py).  Regression pin, not reference parity —
+# catches shading/geometry changes anywhere in the image, closing the
+# round-2 gap where fish/hier/instance/... had no pixel test at all.
+# ---------------------------------------------------------------------------
+
+SELF_GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "self_golden")
+
+
+def _self_golden_names():
+    if not os.path.isdir(SELF_GOLDEN_DIR):
+        return []
+    return sorted(
+        f[:-4] for f in os.listdir(SELF_GOLDEN_DIR) if f.endswith(".png")
+    )
+
+
+@pytest.mark.golden
+@pytest.mark.parametrize("name", _self_golden_names() or ["_none"])
+def test_self_golden(name):
+    if name == "_none":
+        pytest.skip("no self-goldens generated")
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.gen_self_goldens import render_one
+
+    gold = np.asarray(PILImage.open(
+        os.path.join(SELF_GOLDEN_DIR, f"{name}.png")).convert("RGB"),
+        dtype=np.int16)
+    ours = render_one(name).astype(np.int16)
+    assert ours.shape == gold.shape, (ours.shape, gold.shape)
+    diff = np.abs(ours - gold)
+    # Deterministic seed + flat accel: byte-identical modulo float
+    # reassociation across XLA versions; allow 2/255 on isolated pixels.
+    frac = (diff > 2).any(axis=-1).mean()
+    assert frac < 1e-3, f"{name}: {frac:.2%} pixels differ (max {diff.max()})"
