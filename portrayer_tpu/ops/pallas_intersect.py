@@ -201,6 +201,7 @@ def _make_kernel(B, SC, Nslab, slab_ranges, eps, self_eps_local, dtype,
                 return 1.0 / jnp.where(jnp.abs(dc) < 1e-30, tiny, dc)
             rdx, rdy, rdz = _rcp(dx), _rcp(dy), _rcp(dz)
 
+
             lanes = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
             neg_big = jnp.asarray(-3e38, dtype)
 
@@ -434,29 +435,30 @@ def _make_kernel(B, SC, Nslab, slab_ranges, eps, self_eps_local, dtype,
 
                 # --- specialized kinds (transform baked out at pack time) ------
                 def tri_w():
-                    # Shirley/Cramer (triangle.rs:39-80) on world-space
-                    # vertices: rows 0..2 = a, 3..5 = e1, 6..8 = e2.
-                    ax_, ay_, az_ = row(0), row(1), row(2)
-                    A, B_, C_ = row(3), row(4), row(5)
-                    D, E, F = row(6), row(7), row(8)
-                    G, H, I = dx, dy, dz
-                    J, K, L = ax_ - ox, ay_ - oy, az_ - oz
-                    ei_hf = E * I - H * F
-                    gf_di = G * F - D * I
-                    dh_eg = D * H - E * G
-                    M = A * ei_hf + B_ * gf_di + C_ * dh_eg
-                    iM = 1.0 / jnp.where(M == 0.0, 1.0, M)
-                    ak_jb = A * K - J * B_
-                    jc_al = J * C_ - A * L
-                    bl_ck = B_ * L - C_ * K
-                    t = -(F * ak_jb + E * jc_al + D * bl_ck) * iM
-                    gamma = (I * ak_jb + H * jc_al + G * bl_ck) * iM
-                    beta = (J * ei_hf + K * gf_di + L * dh_eg) * iM
+                    # Unit-triangle frame (see flatten._build_packed):
+                    # rows 0..11 map homogeneous (o,1)/(d,0) into the
+                    # (beta, gamma, w) frame; t = -o'w/d'w plus the
+                    # barycentric compares reproduce the reference's
+                    # Cramer accepted set (triangle.rs:39-80) with fewer
+                    # VPU ops.
+                    # Elementwise [B,C] transform (an MXU dot_general was
+                    # tried and measured WORSE: K=4 uses 4/128 MXU rows
+                    # and f32 needs multi-pass — the relayout + passes
+                    # cost more than 21 VPU MACs).
+                    m = [row(r) for r in range(12)]
+                    ou = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+                    ov = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+                    ow = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+                    du = m[0] * dx + m[1] * dy + m[2] * dz
+                    dv = m[4] * dx + m[5] * dy + m[6] * dz
+                    dw = m[8] * dx + m[9] * dy + m[10] * dz
+                    t = _gd(-ow, dw)
+                    beta = ou + t * du
+                    gamma = ov + t * dv
                     ok = (
-                        (M != 0.0)
-                        & in_range(t, tminb)
-                        & ~(gamma < 0.0) & ~(gamma > 1.0)
-                        & ~(beta < 0.0) & ~(beta > 1.0 - gamma)
+                        in_range(t, tminb)
+                        & ~(beta < 0.0) & ~(gamma < 0.0)
+                        & ~(beta + gamma > 1.0)
                     )
                     if use_src:
                         # A ray leaving a planar triangle never legitimately

@@ -39,19 +39,14 @@ def _uniform(key, site: int, shape, dtype):
     return jax.random.uniform(jax.random.fold_in(key, site), shape, dtype)
 
 
-import numpy as _np
-
-# 256-entry decode LUTs for the uint8 atlases: sRGB -> linear c^2.2
-# (src/texture.rs:162-168) and plain 0..1.  Identical values to prebaking
-# the decode into f32 texels (every possible u8 value is tabulated), at
-# 1/12th the HBM footprint on texture-heavy scenes.
-_SRGB_LUT = _np.power(_np.arange(256, dtype=_np.float64) / 255.0, 2.2)
-_U8_LUT = _np.arange(256, dtype=_np.float64) / 255.0
-
-
 def sample_atlas(data, meta, tex_ix, uv, srgb: bool = True):
     """Nearest-neighbour, euclid-wraparound atlas sampling
-    (src/texture.rs:104-141): x = trunc(u*(w-1)) rem_euclid w."""
+    (src/texture.rs:104-141): x = trunc(u*(w-1)) rem_euclid w.
+
+    u8 texels decode arithmetically (c/255 then c^2.2 for sRGB,
+    texture.rs:162-168) — a pow is cheaper on the VPU than a second
+    [R,3]-indexed LUT gather, and the atlas stays at 1/12th the HBM of
+    prebaked f32 texels."""
     m = meta[jnp.maximum(tex_ix, 0)]          # [R,3] (offset, w, h)
     off, w, h = m[..., 0], m[..., 1], m[..., 2]
     x = jnp.trunc(uv[..., 0] * (w - 1).astype(uv.dtype)).astype(jnp.int32)
@@ -59,9 +54,10 @@ def sample_atlas(data, meta, tex_ix, uv, srgb: bool = True):
     x = jnp.mod(x, jnp.maximum(w, 1))
     y = jnp.mod(y, jnp.maximum(h, 1))
     idx = off + y * w + x
-    texel = data[idx].astype(jnp.int32)       # [R,3] u8 values
-    lut = jnp.asarray(_SRGB_LUT if srgb else _U8_LUT, uv.dtype)
-    return lut[texel]                         # [R,3] decoded
+    texel = data[idx].astype(uv.dtype) * (1.0 / 255.0)   # [R,3] in 0..1
+    if srgb:
+        texel = texel ** 2.2
+    return texel
 
 
 def _apply_uv_trans(uvt6, uv):
@@ -143,7 +139,15 @@ def shade_hits(
         # per-block loop ramp, so L separate calls per bounce cost far more
         # than one call on an L-times-larger batch (VERDICT r1: the shadow
         # sweeps were ~3/4 of trace time).
-        dirs, dists, attns = [], [], []
+        dirs, dists, attns, needs = [], [], [], []
+        # A shadow ray only matters when the light could contribute:
+        # diffuse needs n.l > 0, specular needs a specular material AND
+        # n.h > 0 (the reference adds specular even for lights behind the
+        # surface, material.rs:196-204 — preserved).  Lanes where both
+        # terms are zero skip the occlusion sweep entirely (~30-50% of
+        # castle lanes), which the sweep's per-ray cull turns into
+        # skipped chunks/blocks.
+        spec_possible = jnp.max(mat_specular, axis=-1) > 0.0
         for li in range(st.n_lights):
             lpos = st.light_pos[li]
             c0, c1, c2 = st.light_falloff[li]
@@ -153,14 +157,25 @@ def shade_hits(
                     + ab[:, 1:] * st.light_area_b[li]
             hit_to_light = lpos - p
             light_dist = m3.norm(hit_to_light, eps=1e-20)
-            dirs.append(hit_to_light / jnp.maximum(light_dist, 1e-30)[..., None])
+            ldir = hit_to_light / jnp.maximum(light_dist, 1e-30)[..., None]
+            dirs.append(ldir)
             dists.append(light_dist)
             attns.append(c0 + c1 * light_dist + c2 * light_dist * light_dist)
+            half = m3.normalize(view + ldir, eps=1e-30)
+            # shininess == 0 makes the Blinn term x^0 == 1 even for
+            # negative n.h (the reference's powf(0.0) quirk) — such
+            # lanes always need the shadow test.
+            needs.append(
+                (m3.dot(n, ldir) > 0.0)
+                | (spec_possible
+                   & ((m3.dot(n, half) > 0.0) | (mat_shininess == 0.0)))
+            )
 
         L = st.n_lights
         if L == 1:
             occ_all = occluded(
-                p, dirs[0], t_eps, jnp.inf, st, cfg, active=active,
+                p, dirs[0], t_eps, jnp.inf, st, cfg,
+                active=active & needs[0],
                 src_node=hit.node, src_tri=hit.tri,
             )[None]
         else:
@@ -168,7 +183,7 @@ def shade_hits(
             occ_all = occluded(
                 tile(p), jnp.stack(dirs).reshape(L * R, 3),
                 tile(t_eps), jnp.inf, st, cfg,
-                active=tile(active),
+                active=tile(active) & jnp.stack(needs).reshape(L * R),
                 src_node=tile(hit.node), src_tri=tile(hit.tri),
             ).reshape(L, R)
 

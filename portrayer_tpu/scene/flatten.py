@@ -209,13 +209,32 @@ def _build_packed(
             amax = np.asarray(pair_amax)
             order = _morton_order(amin, amax)
             pn, pt = pn[order], pt[order]
-            # World-space vertices: a, e1 = a-b, e2 = a-c (Shirley's
-            # "abc" columns, triangle.rs:39-80) — the instance transform
-            # is baked in, saving the per-(ray,pair) affine in the kernel.
+            # Unit-triangle affine: rows map world points into the
+            # (beta, gamma, w) frame where the triangle is beta,gamma >= 0,
+            # beta+gamma <= 1, w == 0 (p = a + beta*e1 + gamma*e2 + w*n).
+            # The kernel then computes o' and d' as [B,4] x [4,C] MXU
+            # matmuls (rows 0..3 / 4..7 / 8..11 are exactly the three
+            # [4,C] matrices) and the VPU only does the t = -o'w/d'w
+            # ratio + barycentric compares — same accepted-hit semantics
+            # as the reference's Cramer solve (triangle.rs:39-80).
             wv = pair_world[order]                     # [k,3,3]
+            k = len(pn)
             a = wv[:, 0]
+            e1 = wv[:, 1] - a
+            e2 = wv[:, 2] - a
+            nrm = np.cross(e1, e2)
+            A = np.stack([e1, e2, nrm], axis=2)        # columns
+            det = np.linalg.det(A)
+            good = np.abs(det) > 1e-30
+            Minv = np.zeros((k, 3, 3))
+            if good.any():
+                Minv[good] = np.linalg.inv(A[good])
+            trans = -np.einsum("kij,kj->ki", Minv, a)
             f = np.concatenate(
-                [a, a - wv[:, 1], a - wv[:, 2], np.zeros((len(pn), 12))],
+                [Minv[:, 0, :], trans[:, 0:1],
+                 Minv[:, 1, :], trans[:, 1:2],
+                 Minv[:, 2, :], trans[:, 2:3],
+                 np.zeros((k, 9))],
                 axis=1,
             )
             ids = np.stack([pn, pt], axis=1)
