@@ -73,11 +73,15 @@ def bench_big_scene():
     w, h = spec.size
     cfg = RenderConfig(samples=1, tile=(256, 256))
     st = flatten_scene(spec.scene, dtype=cfg.dtype)
-    render_u8(st, spec.camera, (w, h), spec.background, cfg)  # compile
-    t0 = time.time()
-    render_u8(st, spec.camera, (w, h), spec.background, cfg)
-    dt = time.time() - t0
-    return w * h / dt / 1e6
+    for _ in range(2):  # compile + relay buffer warm-up
+        render_u8(st, spec.camera, (w, h), spec.background, cfg)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        render_u8(st, spec.camera, (w, h), spec.background, cfg)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return w * h / times[1] / 1e6
 
 
 def bench_castle(fwd_bwd: bool, res=256, spp=1):

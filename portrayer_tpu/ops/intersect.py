@@ -324,7 +324,7 @@ def _local_rays(inv34, o, d):
 
 def intersect_scene(
     o, d, t_min, t_max, st: SceneTables, cfg: RenderConfig,
-    active=None, src_node=None, src_tri=None, exact_t=True,
+    active=None, src_node=None, src_tri=None, exact_t=True, shadow=None,
 ) -> Hit:
     """Nearest hit for a batch of world-space rays [R,3].
 
@@ -354,7 +354,7 @@ def intersect_scene(
             return intersect_scene_pallas(
                 *jax.lax.stop_gradient((o, d, t_min, t_max, st)), cfg,
                 active=active, src_node=src_node, src_tri=src_tri,
-                exact_t=exact_t,
+                exact_t=exact_t, shadow=shadow,
             )
     if cfg.accel in ("beam", "pallas"):
         n_prims = st.n_nodes + st.n_pairs

@@ -172,6 +172,12 @@ def _make_kernel(B, SC, Nslab, slab_ranges, eps, self_eps_local, dtype,
         # Loop-control reductions stay [B,1] (single-lane keys/bounds).
         tmax1 = colv(7)
         act1 = colv(10) > 0.0
+        # Row 11: shadow-mode flag — occlusion-only lanes stop driving
+        # chunk evaluations as soon as they have ANY in-range hit (their
+        # per-lane bound drops to -inf), giving any-hit economics inside
+        # the nearest kernel so shadow queries can share one fused launch
+        # with the next bounce round's nearest query.
+        shad1 = colv(11) > 0.0
         has_act = jnp.any(act1)
 
         def _alive():
@@ -597,13 +603,16 @@ def _make_kernel(B, SC, Nslab, slab_ranges, eps, self_eps_local, dtype,
                             # Safe per-ray upper bound on the true best t: the
                             # packed key rounds t's low 7 mantissa bits down,
                             # so | 127 rounds up; clamp misses back to exactly
-                            # +inf (else NaN bits).
+                            # +inf (else NaN bits).  Shadow-mode lanes with
+                            # ANY hit stop bounding the sweep entirely.
                             t_up = pltpu.bitcast(
                                 jnp.minimum(
                                     jax.lax.bitwise_or(bp, 127), INF_BITS),
                                 jnp.float32)
-                            ub = jnp.max(jnp.where(
-                                act1, jnp.minimum(t_up, tmax1), neg_big))
+                            eff = jnp.where(
+                                shad1 & (bp < INF_BITS), neg_big,
+                                jnp.minimum(t_up, tmax1))
+                            ub = jnp.max(jnp.where(act1, eff, neg_big))
                             tec = read_te(off + jnp.minimum(ci, cnt - 1))
                             return ((ci < cnt) & has_act
                                     & (tec <= ub) & (tec < INF))
@@ -653,7 +662,7 @@ def _make_kernel(B, SC, Nslab, slab_ranges, eps, self_eps_local, dtype,
 def intersect_scene_pallas(
     o, d, t_min, t_max, st: SceneTables, cfg: RenderConfig,
     active=None, src_node=None, src_tri=None, any_hit=False,
-    exact_t=True,
+    exact_t=True, shadow=None,
 ) -> Hit:
     """Nearest hit via the Pallas sweep; same contract as intersect_scene.
 
@@ -661,7 +670,11 @@ def intersect_scene_pallas(
     exact_t=False skips the winner-t recompute epilogue and returns the
     kernel's quantized t key (2^-16 relative) — for callers that follow up
     with hit_detail, whose reattach recomputes the exact differentiable t
-    anyway (one recompute instead of two; ~6.5ms per 262k rays on castle)."""
+    anyway (one recompute instead of two; ~6.5ms per 262k rays on castle).
+    shadow: optional [R] bool — lanes needing only an occlusion verdict;
+    they stop driving the sweep after ANY hit, so only their `.hit` is
+    meaningful (t/node/tri may be a non-nearest hit).  This lets one
+    launch serve shadow + nearest lanes at any-hit economics."""
     pk = st.packed
     B = cfg.pallas_block
     assert B % 8 == 0
@@ -691,6 +704,10 @@ def intersect_scene_pallas(
     tmaxb = _pad_to(t_max_b, R, 0.0).reshape(NB, B)
     srcb = _pad_to(src_node, R, -1).reshape(NB, B)
     srctb = _pad_to(src_tri, R, -1).reshape(NB, B)
+    if shadow is None:
+        shadb = jnp.zeros((NB, B), dtype)
+    else:
+        shadb = _pad_to(shadow.astype(dtype), R, 0.0).reshape(NB, B)
 
     # Per-ray slab test against every chunk AABB, reduced per block: the
     # block's entry-t for a chunk is the min entry over rays that actually
@@ -812,7 +829,8 @@ def intersect_scene_pallas(
             tminb, tmaxb,
             srcb.astype(dtype), srctb.astype(dtype),
             actb.astype(dtype),
-            zeros_row, zeros_row, zeros_row, zeros_row, zeros_row,
+            shadb,
+            zeros_row, zeros_row, zeros_row, zeros_row,
         ],
         axis=1,
     )                                                   # [NB, 16, B]

@@ -79,11 +79,66 @@ def _decode_normal_map(texel):
     return jnp.stack([nx, -nz, -ny], axis=-1)
 
 
+class ShadePre(NamedTuple):
+    """Occlusion-independent shading results (deferred lighting).
+
+    The per-light contributions wait for the shadow-ray verdicts, which
+    the trace loop batches into the NEXT round's nearest sweep — one
+    accelerated launch per bounce round instead of two (the per-launch
+    fixed cost dominates the small late-round queues)."""
+    base: jnp.ndarray        # [R,3] ambient term (occlusion-independent)
+    light_contrib: jnp.ndarray  # [L,R,3] per-light (diffuse+spec)/attn
+    shadow_dir: jnp.ndarray  # [L,R,3] unit dirs to the (sampled) lights
+    shadow_need: jnp.ndarray  # [L,R] bool — lanes whose contribution != 0
+    t_eps: jnp.ndarray       # [R] secondary-ray start offsets
+
+
 def shade_hits(
     d, hit: Hit, det: HitDetail, st: SceneTables, cfg: RenderConfig,
     key, active,
 ):
-    """Returns (local_color [R,3], Children).  `active` masks live hit lanes."""
+    """Returns (local_color [R,3], Children, t_eps) resolving occlusion
+    inline (one occluded() launch).  The trace loop uses shade_pre +
+    apply_lights instead to fuse the shadow query into the next round's
+    sweep; this wrapper keeps the one-shot API for tests/tools."""
+    pre, children = shade_pre(d, hit, det, st, cfg, key, active)
+    R = d.shape[0]
+    L = st.n_lights
+    if L:
+        if L == 1:
+            occ = occluded(
+                det.point, pre.shadow_dir[0], pre.t_eps, jnp.inf, st, cfg,
+                active=active & pre.shadow_need[0],
+                src_node=hit.node, src_tri=hit.tri,
+            )[None]
+        else:
+            tile = lambda x: jnp.tile(x, (L,) + (1,) * (x.ndim - 1))
+            occ = occluded(
+                tile(det.point), pre.shadow_dir.reshape(L * R, 3),
+                tile(pre.t_eps), jnp.inf, st, cfg,
+                active=tile(active) & pre.shadow_need.reshape(L * R),
+                src_node=tile(hit.node), src_tri=tile(hit.tri),
+            ).reshape(L, R)
+        color = apply_lights(pre, occ, active)
+    else:
+        color = jnp.where(active[..., None], pre.base, 0.0)
+    return color, children, pre.t_eps
+
+
+def apply_lights(pre: ShadePre, occ, active):
+    """base + sum_l unoccluded * light_contrib_l, masked to active lanes."""
+    color = pre.base
+    for li in range(pre.light_contrib.shape[0]):
+        lit = (~occ[li])[..., None].astype(color.dtype)
+        color = color + lit * pre.light_contrib[li]
+    return jnp.where(active[..., None], color, 0.0)
+
+
+def shade_pre(
+    d, hit: Hit, det: HitDetail, st: SceneTables, cfg: RenderConfig,
+    key, active,
+):
+    """Occlusion-independent shading: returns (ShadePre, Children)."""
     R = d.shape[0]
     dtype = d.dtype
     p = det.point
@@ -134,22 +189,22 @@ def shade_hits(
     ) if cfg.eps_rel else jnp.full((R,), cfg.epsilon, dtype)
 
     if st.n_lights:
-        # All lights' shadow rays go through ONE any-hit dispatch: the
-        # accelerated sweeps pay a per-call cull/sort prologue and a
-        # per-block loop ramp, so L separate calls per bounce cost far more
-        # than one call on an L-times-larger batch (VERDICT r1: the shadow
-        # sweeps were ~3/4 of trace time).
-        dirs, dists, attns, needs = [], [], [], []
+        # Per-light contributions, deferred: the shadow verdicts arrive
+        # from a sweep the trace loop batches with the next round's
+        # nearest query (one accelerated launch per round).
+        dirs, contribs, needs = [], [], []
         # A shadow ray only matters when the light could contribute:
         # diffuse needs n.l > 0, specular needs a specular material AND
         # n.h > 0 (the reference adds specular even for lights behind the
-        # surface, material.rs:196-204 — preserved).  Lanes where both
-        # terms are zero skip the occlusion sweep entirely (~30-50% of
-        # castle lanes), which the sweep's per-ray cull turns into
-        # skipped chunks/blocks.
+        # surface, material.rs:196-204 — preserved; shininess == 0 makes
+        # the Blinn term x^0 == 1 even for negative n.h, so those lanes
+        # always need the test).  Lanes where both terms are zero skip
+        # the occlusion sweep entirely (~30-50% of castle lanes), which
+        # the sweep's per-ray cull turns into skipped chunks/blocks.
         spec_possible = jnp.max(mat_specular, axis=-1) > 0.0
         for li in range(st.n_lights):
             lpos = st.light_pos[li]
+            lcol = st.light_color[li]
             c0, c1, c2 = st.light_falloff[li]
             if st.area_flags[li]:
                 ab = _uniform(key, 1000 + 2 * li, (R, 2), dtype) * 2.0 - 1.0
@@ -159,44 +214,30 @@ def shade_hits(
             light_dist = m3.norm(hit_to_light, eps=1e-20)
             ldir = hit_to_light / jnp.maximum(light_dist, 1e-30)[..., None]
             dirs.append(ldir)
-            dists.append(light_dist)
-            attns.append(c0 + c1 * light_dist + c2 * light_dist * light_dist)
+            attn = c0 + c1 * light_dist + c2 * light_dist * light_dist
+            nl = jnp.maximum(m3.dot(n, ldir), 0.0)
+            diffuse = diffuse_color * lcol[None, :] * nl[..., None]
             half = m3.normalize(view + ldir, eps=1e-30)
-            # shininess == 0 makes the Blinn term x^0 == 1 even for
-            # negative n.h (the reference's powf(0.0) quirk) — such
-            # lanes always need the shadow test.
+            nh = jnp.maximum(m3.dot(n, half), 1e-20) ** (4.0 * mat_shininess)
+            specular = mat_specular * lcol[None, :] * nh[..., None]
+            contribs.append((diffuse + specular) / attn[..., None])
             needs.append(
-                (m3.dot(n, ldir) > 0.0)
+                (nl > 0.0)
                 | (spec_possible
                    & ((m3.dot(n, half) > 0.0) | (mat_shininess == 0.0)))
             )
+        shadow_dir = jnp.stack(dirs)
+        light_contrib = jnp.stack(contribs)
+        shadow_need = jnp.stack(needs) & active[None]
+    else:
+        shadow_dir = jnp.zeros((0, R, 3), dtype)
+        light_contrib = jnp.zeros((0, R, 3), dtype)
+        shadow_need = jnp.zeros((0, R), bool)
 
-        L = st.n_lights
-        if L == 1:
-            occ_all = occluded(
-                p, dirs[0], t_eps, jnp.inf, st, cfg,
-                active=active & needs[0],
-                src_node=hit.node, src_tri=hit.tri,
-            )[None]
-        else:
-            tile = lambda x: jnp.tile(x, (L,) + (1,) * (x.ndim - 1))
-            occ_all = occluded(
-                tile(p), jnp.stack(dirs).reshape(L * R, 3),
-                tile(t_eps), jnp.inf, st, cfg,
-                active=tile(active) & jnp.stack(needs).reshape(L * R),
-                src_node=tile(hit.node), src_tri=tile(hit.tri),
-            ).reshape(L, R)
-
-        for li in range(st.n_lights):
-            lcol = st.light_color[li]
-            light_dir = dirs[li]
-            nl = jnp.maximum(m3.dot(n, light_dir), 0.0)
-            diffuse = diffuse_color * lcol[None, :] * nl[..., None]
-            half = m3.normalize(view + light_dir, eps=1e-30)
-            nh = jnp.maximum(m3.dot(n, half), 1e-20) ** (4.0 * mat_shininess)
-            specular = mat_specular * lcol[None, :] * nh[..., None]
-            lit = (~occ_all[li])[..., None].astype(dtype)
-            color = color + lit * (diffuse + specular) / attns[li][..., None]
+    pre = ShadePre(
+        base=color, light_contrib=light_contrib, shadow_dir=shadow_dir,
+        shadow_need=shadow_need, t_eps=t_eps,
+    )
 
     # ----- children ------------------------------------------------------
     if not st.any_reflective:
@@ -204,8 +245,7 @@ def shade_hits(
         children = Children(
             origin=p, refl_dir=d, refl_mult=zeros, refr_dir=d, refr_mult=zeros
         )
-        color = jnp.where(active[..., None], color, 0.0)
-        return color, children, t_eps
+        return pre, children
 
     dn = m3.dot(d, n)
     reflect_dir = d - 2.0 * dn[..., None] * n
@@ -280,5 +320,4 @@ def shade_hits(
         refr_dir=m3.normalize(refr_dir, eps=1e-30),
         refr_mult=refr_mult,
     )
-    color = jnp.where(active[..., None], color, 0.0)
-    return color, children, t_eps
+    return pre, children

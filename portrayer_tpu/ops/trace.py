@@ -20,8 +20,8 @@ import jax.numpy as jnp
 
 from ..config import RenderConfig
 from ..scene.flatten import SceneTables
-from .intersect import intersect_scene, hit_detail
-from .shade import shade_hits
+from .intersect import intersect_scene, hit_detail, Hit
+from .shade import shade_pre
 
 
 class _Queue(NamedTuple):
@@ -43,18 +43,32 @@ def _acc_add(acc, pix, x, spp_c: int):
     return acc.at[pix].add(x)
 
 
-def _round(
-    q: _Queue, acc, bg, st: SceneTables, cfg: RenderConfig, rkey, is_last,
-    spp_c: int = 0,
+class _Shadow(NamedTuple):
+    """Deferred per-round shadow batch: the occlusion verdicts arrive from
+    a sweep fused with the NEXT round's nearest query (one accelerated
+    launch per round — the per-launch fixed cost dominates small
+    late-round queues)."""
+    o: jnp.ndarray         # [R,3] hit points
+    dirs: jnp.ndarray      # [L,R,3]
+    need: jnp.ndarray      # [L,R] lanes whose light contribution != 0
+    lc: jnp.ndarray        # [L,R,3] throughput-weighted light contribs
+    t_eps: jnp.ndarray     # [R]
+    src_node: jnp.ndarray  # [R]
+    src_tri: jnp.ndarray   # [R]
+    pix: jnp.ndarray       # [R]
+
+
+def _round_shade(
+    q: _Queue, hit, acc, bg, st: SceneTables, cfg: RenderConfig, rkey,
+    is_last, spp_c: int = 0,
 ):
-    """Process one bounce round; returns (acc, children queue of size 2Q)."""
+    """Shade a round whose nearest hits are already computed.
+
+    Accumulates the occlusion-independent radiance (ambient/texture base,
+    miss background, soft-visibility complement, depth-cutoff background,
+    material.rs:102-104) and returns (acc, children queue of size 2Q,
+    deferred _Shadow batch)."""
     active = q.w > 0.0
-    # exact_t=False: hit_detail's reattach recomputes the exact
-    # differentiable t, so the sweep may return its quantized key.
-    hit = intersect_scene(
-        q.o, q.d, q.t_min, jnp.inf, st, cfg, active=active,
-        src_node=q.src_node, src_tri=q.src_tri, exact_t=False,
-    )
     det = hit_detail(
         q.o, q.d, hit, st, cfg, q.t_min,
         src_node=q.src_node, src_tri=q.src_tri,
@@ -69,9 +83,9 @@ def _round(
         bgc = bg[q.pix]                               # [Q,3]
     miss_w = jnp.where(active & ~hit.hit, q.w, 0.0)
 
-    local, children, t_eps = shade_hits(
-        q.d, hit, det, st, cfg, rkey, active & hit.hit
-    )
+    shade_active = active & hit.hit
+    pre, children = shade_pre(q.d, hit, det, st, cfg, rkey, shade_active)
+    t_eps = pre.t_eps
 
     w_hit = q.w
     soft_w = 0.0
@@ -92,16 +106,26 @@ def _round(
     w_refr = w_hit * children.refr_mult
 
     # One combined accumulation per round (scatters are ~ms-level on TPU):
-    # background for misses + soft-silhouette complement + local shading +
-    # the depth-limit cut-off where every child evaluates to the background
-    # (material.rs:102-104).
+    # background for misses + soft-silhouette complement + the ambient
+    # base + the depth-limit cut-off where every child evaluates to the
+    # background; per-light terms wait for the fused shadow verdicts.
     last = jnp.asarray(is_last)
     bg_w = miss_w + soft_w + jnp.where(last, w_refl + w_refr, 0.0)
+    base = jnp.where(shade_active[..., None], pre.base, 0.0)
     acc = _acc_add(
-        acc, q.pix, bg_w[:, None] * bgc + w_hit[:, None] * local, spp_c
+        acc, q.pix, bg_w[:, None] * bgc + w_hit[:, None] * base, spp_c
     )
     w_refl = jnp.where(last, 0.0, w_refl)
     w_refr = jnp.where(last, 0.0, w_refr)
+
+    lc = jnp.where(
+        shade_active[None, :, None], w_hit[None, :, None] * pre.light_contrib,
+        0.0,
+    )
+    shadow = _Shadow(
+        o=det.point, dirs=pre.shadow_dir, need=pre.shadow_need, lc=lc,
+        t_eps=t_eps, src_node=hit.node, src_tri=hit.tri, pix=q.pix,
+    )
 
     child = _Queue(
         o=jnp.concatenate([children.origin, children.origin]),
@@ -112,7 +136,44 @@ def _round(
         src_node=jnp.concatenate([hit.node, hit.node]),
         src_tri=jnp.concatenate([hit.tri, hit.tri]),
     )
-    return acc, child
+    return acc, child, shadow
+
+
+def _nearest(q: _Queue, st, cfg):
+    """Nearest-hit launch for a queue (exact_t=False: hit_detail's
+    reattach recomputes the exact differentiable t)."""
+    return intersect_scene(
+        q.o, q.d, q.t_min, jnp.inf, st, cfg, active=q.w > 0.0,
+        src_node=q.src_node, src_tri=q.src_tri, exact_t=False,
+    )
+
+
+def _apply_shadows(shadow: _Shadow, acc, st, cfg, spp_c: int):
+    """Resolve the deferred L-light occlusion batch (one any-hit launch)
+    and accumulate the lit contributions.
+
+    (A fused variant — shadow lanes riding in the next round's nearest
+    launch with a per-lane shadow-mode flag — was tried and measured
+    WORSE on castle: depth-10 136 -> 160 ms.  The separate any-hit sweep
+    beats nearest-mode shadow lanes by more than a launch costs.)"""
+    from .intersect import occluded
+
+    L = shadow.dirs.shape[0]
+    R = shadow.o.shape[0]
+    if L == 0:
+        return acc
+    tile = lambda x: jnp.tile(x, (L,) + (1,) * (x.ndim - 1))
+    occ = occluded(
+        tile(shadow.o) if L > 1 else shadow.o,
+        shadow.dirs.reshape(L * R, 3) if L > 1 else shadow.dirs[0],
+        tile(shadow.t_eps) if L > 1 else shadow.t_eps,
+        jnp.inf, st, cfg,
+        active=shadow.need.reshape(L * R) if L > 1 else shadow.need[0],
+        src_node=tile(shadow.src_node) if L > 1 else shadow.src_node,
+        src_tri=tile(shadow.src_tri) if L > 1 else shadow.src_tri,
+    ).reshape(L, R)
+    light = jnp.sum(jnp.where(occ[..., None], 0.0, shadow.lc), axis=0)
+    return _acc_add(acc, shadow.pix, light, spp_c)
 
 
 def _compact(child: _Queue, capacity: int, acc, bg):
@@ -214,8 +275,12 @@ def trace(
 
     # Round 0 (primary rays).
     n_live0 = jnp.sum(q.w > 0.0).astype(jnp.int32)
-    acc, child = _round(q, acc, bg, st, cfg, jax.random.fold_in(key, 0),
-                        is_last=(max_depth == 0), spp_c=spp_contiguous)
+    hit = _nearest(q, st, cfg)
+    acc, child, sh = _round_shade(
+        q, hit, acc, bg, st, cfg, jax.random.fold_in(key, 0),
+        is_last=(max_depth == 0), spp_c=spp_contiguous,
+    )
+    acc = _apply_shadows(sh, acc, st, cfg, spp_contiguous)
     if max_depth == 0:
         if with_stats:
             return acc, n_live0[None]
@@ -235,16 +300,19 @@ def trace(
         )
 
     def round_r(q, acc, ridx, next_cap):
-        """One bounce round guarded by a live-queue check; compacts the
-        children to `next_cap` (static)."""
+        """One bounce round guarded by a live-queue check: nearest launch,
+        shade, any-hit shadow launch, compact children to `next_cap`."""
         n_live = jnp.sum(q.w > 0.0).astype(jnp.int32)
 
         def live(args):
             q, acc = args
             rkey = jax.random.fold_in(key, ridx)
-            acc2, child = _round(
-                q, acc, bg, st, cfg, rkey, is_last=(ridx == max_depth)
+            hit = _nearest(q, st, cfg)
+            acc2, child, sh = _round_shade(
+                q, hit, acc, bg, st, cfg, rkey,
+                is_last=(ridx == max_depth),
             )
+            acc2 = _apply_shadows(sh, acc2, st, cfg, 0)
             return _compact(child, next_cap, acc2, bg)
 
         def dead(args):

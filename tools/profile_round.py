@@ -76,64 +76,5 @@ for depth in (0, 1, 2, 3):
     dt = timeit(f, key, o, d)
     print(f"trace depth={depth}: {dt*1e3:9.2f} ms", flush=True)
 
-# Build the round-1 child queue exactly as trace does.
-cfg0 = RenderConfig(samples=1, accel="pallas", max_depth=10)
-t_min = jnp.full((R,), cfg0.epsilon, jnp.float32)
-sn = jnp.full((R,), -1, jnp.int32)
-q = tr._Queue(o=o, d=d, w=jnp.ones((R,), jnp.float32), pix=pix,
-              t_min=t_min, src_node=sn, src_tri=sn)
-acc0 = jnp.zeros((R, 3), jnp.float32)
-
-
-@jax.jit
-def round0(q, acc):
-    return tr._round(q, acc, bg, st, cfg0, jax.random.fold_in(key, 0),
-                     is_last=False, spp_c=1)
-
-
-acc1, child = round0(q, acc0)
-jax.block_until_ready(child)
-print("child live:", int((np.asarray(child.w) > 0).sum()), "of",
-      child.w.shape[0], flush=True)
-
-compact = jax.jit(lambda c, a: tr._compact(c, R, a, bg))
-q1, acc1b = compact(child, acc1)
-print("q1 live:", int((np.asarray(q1.w) > 0).sum()), flush=True)
-
-print(f"_round on primary q:        {timeit(round0, q, acc0)*1e3:9.2f} ms",
-      flush=True)
-print(f"_compact 2R->R:             {timeit(compact, child, acc1)*1e3:9.2f} ms",
-      flush=True)
-
-
-@jax.jit
-def round1(q, acc):
-    return tr._round(q, acc, bg, st, cfg0, jax.random.fold_in(key, 1),
-                     is_last=False)
-
-
-print(f"_round on bounce q1:        {timeit(round1, q1, acc1b)*1e3:9.2f} ms",
-      flush=True)
-
-# pieces of the bounce round
-act1 = q1.w > 0.0
-isect = jax.jit(lambda q: intersect_scene(
-    q.o, q.d, q.t_min, jnp.inf, st, cfg0, active=q.w > 0,
-    src_node=q.src_node, src_tri=q.src_tri, exact_t=False))
-hit1 = isect(q1)
-print(f"  intersect(q1):            {timeit(isect, q1)*1e3:9.2f} ms",
-      flush=True)
-detf = jax.jit(lambda q, hit: hit_detail(
-    q.o, q.d, hit, st, cfg0, q.t_min,
-    src_node=q.src_node, src_tri=q.src_tri))
-det1 = detf(q1, hit1)
-print(f"  hit_detail(q1):           {timeit(detf, q1, hit1)*1e3:9.2f} ms",
-      flush=True)
-shf = jax.jit(lambda q, hit, det: shade_hits(
-    q.d, hit, det, st, cfg0, key, (q.w > 0) & hit.hit))
-print(f"  shade_hits(q1):           {timeit(shf, q1, hit1, det1)*1e3:9.2f} ms",
-      flush=True)
-scat = jax.jit(lambda acc, pix, x: acc.at[pix].add(x))
-x = jnp.ones((R, 3), jnp.float32)
-print(f"  scatter-add [R,3]:        {timeit(scat, acc0, q1.pix, x)*1e3:9.2f} ms",
-      flush=True)
+# (per-piece _round timings removed: the round was restructured into
+#  _round_shade + fused shadow/nearest launches — see ops/trace.py)
