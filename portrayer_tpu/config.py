@@ -59,7 +59,12 @@ class RenderConfig:
     max_depth: int = MAX_RECURSION_DEPTH
 
     # Compute dtype for the ray pipeline.  float32 is the TPU-native choice;
-    # float64 is available (on CPU) for high-precision verification runs.
+    # float64 is available (on CPU) for high-precision verification runs
+    # against the f64 reference (SURVEY §7(d)) — it requires JAX's x64 mode
+    # (run under `with jax.enable_x64(True):` or set JAX_ENABLE_X64=1),
+    # which __post_init__ enforces so the mode can never silently truncate
+    # back to f32.  Use accel="flat" with it: the Pallas kernel is
+    # f32-only (it falls through to the XLA sweeps on f64).
     dtype: jnp.dtype = jnp.float32
 
     # Absolute epsilon for t-range starts (parity with the reference).
@@ -157,6 +162,19 @@ class RenderConfig:
     n_segments: int = 16
     beam_chunk: int = 64
     beam_min_prims: int = 192
+
+    def __post_init__(self):
+        if self.dtype == jnp.float64:
+            import jax
+
+            if not jax.config.jax_enable_x64:
+                raise ValueError(
+                    "RenderConfig(dtype=float64) needs JAX x64 mode or the "
+                    "arrays silently truncate to float32: wrap the run in "
+                    "`with jax.enable_x64(True):` (or set JAX_ENABLE_X64=1)."
+                )
+        if self.queue_caps is not None and len(self.queue_caps) == 0:
+            raise ValueError("queue_caps must be None or non-empty")
 
     def resolved_samples(self) -> int:
         return self.samples if self.samples is not None else _env_samples()

@@ -36,7 +36,10 @@ class Children(NamedTuple):
 
 
 def _uniform(key, site: int, shape, dtype):
-    return jax.random.uniform(jax.random.fold_in(key, site), shape, dtype)
+    # Drawn in f32 regardless of cfg.dtype: the f64 verification mode then
+    # samples the same glossy/area-light points as f32 (see render.py).
+    return jax.random.uniform(
+        jax.random.fold_in(key, site), shape, jnp.float32).astype(dtype)
 
 
 def sample_atlas(data, meta, tex_ix, uv, srgb: bool = True):
@@ -218,14 +221,22 @@ def shade_pre(
             nl = jnp.maximum(m3.dot(n, ldir), 0.0)
             diffuse = diffuse_color * lcol[None, :] * nl[..., None]
             half = m3.normalize(view + ldir, eps=1e-30)
-            nh = jnp.maximum(m3.dot(n, half), 1e-20) ** (4.0 * mat_shininess)
+            nh_raw = m3.dot(n, half)
+            # Reference semantics (material.rs:196-204): max(n.h, 0)^(4s)
+            # is EXACTLY zero for n.h <= 0 when s > 0 (and 1 when s == 0).
+            # The 1e-20 floor only guards pow(0, s) gradients; the explicit
+            # zero keeps the term consistent with the shadow-need gate below
+            # (a small-shininess 1e-20^(4s) residual would otherwise be
+            # added unocclusion-tested on gated-off lanes).
+            spec_on = (nh_raw > 0.0) | (mat_shininess == 0.0)
+            nh = jnp.where(
+                spec_on,
+                jnp.maximum(nh_raw, 1e-20) ** (4.0 * mat_shininess),
+                0.0,
+            )
             specular = mat_specular * lcol[None, :] * nh[..., None]
             contribs.append((diffuse + specular) / attn[..., None])
-            needs.append(
-                (nl > 0.0)
-                | (spec_possible
-                   & ((m3.dot(n, half) > 0.0) | (mat_shininess == 0.0)))
-            )
+            needs.append((nl > 0.0) | (spec_possible & spec_on))
         shadow_dir = jnp.stack(dirs)
         light_contrib = jnp.stack(contribs)
         shadow_need = jnp.stack(needs) & active[None]

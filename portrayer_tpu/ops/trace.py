@@ -43,6 +43,18 @@ def _acc_add(acc, pix, x, spp_c: int):
     return acc.at[pix].add(x)
 
 
+class TraceStats(NamedTuple):
+    """Per-trace introspection (trace(..., with_stats=True)).
+
+    live: [max_depth+1] int32 live-ray count entering each bounce round.
+    dropped_w: scalar — total live throughput terminated by queue-capacity
+    overflow across all rounds, as a FRACTION of the primary ray count.
+    Stale scene queue_caps hints fail loudly through this counter (the
+    accel matrix and self-golden gates assert it stays ~0)."""
+    live: jnp.ndarray
+    dropped_w: jnp.ndarray
+
+
 class _Shadow(NamedTuple):
     """Deferred per-round shadow batch: the occlusion verdicts arrive from
     a sweep fused with the NEXT round's nearest query (one accelerated
@@ -182,11 +194,18 @@ def _compact(child: _Queue, capacity: int, acc, bg):
     with a background-colour fallback (adds their would-be contribution as
     bg so energy isn't silently dropped).
 
+    Returns (queue, acc, dropped_w): dropped_w is the total live
+    throughput terminated by overflow this round — the loud-failure
+    counter for stale per-scene queue_caps hints (a capacity measured on
+    one camera can silently tint renders after a scene edit; callers
+    assert the summed fraction stays tiny).
+
     Selection is ORDER-PRESERVING: survivors keep their queue order
     (children are emitted pixel-major), so the next round's ray blocks
     stay spatially coherent.  top_k's weight-sorted gather would scramble
     them and defeat the sweep's per-block culling."""
     n = child.w.shape[0]
+    dropped = jnp.asarray(0.0, child.w.dtype)
     if n <= capacity:
         # Everything fits: keep live lanes only, compacted to the front
         # (dead sibling lanes are equivalent to padding, and leaving them
@@ -207,6 +226,7 @@ def _compact(child: _Queue, capacity: int, acc, bg):
         take = (take_gt | (eq & (eq_rank <= quota))) & (child.w > 0.0)
         dropped_w = jnp.where(take, 0.0, child.w)
         acc = acc.at[child.pix].add(dropped_w[:, None] * bg[child.pix])
+        dropped = jnp.sum(dropped_w)
     # Stable compaction: scatter row i to slot (#takes before i); dropped
     # rows land in a trash slot past the end.
     pos = jnp.cumsum(take.astype(jnp.int32)) - 1
@@ -221,7 +241,7 @@ def _compact(child: _Queue, capacity: int, acc, bg):
         t_min=place(child.t_min, 1.0),
         src_node=place(child.src_node, -1),
         src_tri=place(child.src_tri, -1),
-    ), acc
+    ), acc, dropped
 
 
 def trace(
@@ -235,9 +255,10 @@ def trace(
     spp_contiguous > 0 asserts pix0 == repeat(arange(P), spp) so the primary
     round can use reshape-sums instead of scatter-adds.
     Returns acc [P,3]: the sum of per-sample radiances scattered to their
-    pixels (caller divides by spp).  with_stats=True additionally returns
-    per-bounce live-ray counts [max_depth+1] (int32) — the wavefront
-    analogue of the reference's progress introspection (SURVEY §5).
+    pixels (caller divides by spp).  with_stats=True returns (acc,
+    TraceStats) — per-bounce live-ray counts plus the queue-overflow
+    dropped-throughput fraction — the wavefront analogue of the
+    reference's progress introspection (SURVEY §5).
     """
     R0 = o0.shape[0]
     dtype = o0.dtype
@@ -265,7 +286,7 @@ def trace(
     # reference-exact policy (refractive scenes saturate 4x queues —
     # measured on transmission-refraction — everything else fits in 1x).
     caps = cfg.queue_caps
-    if caps is None:
+    if not caps:  # None or an (invalid) empty tuple both mean "auto"
         if cfg.queue_factor is not None:
             caps = (cfg.queue_factor,)
         else:
@@ -283,10 +304,11 @@ def trace(
     acc = _apply_shadows(sh, acc, st, cfg, spp_contiguous)
     if max_depth == 0:
         if with_stats:
-            return acc, n_live0[None]
+            return acc, TraceStats(
+                live=n_live0[None], dropped_w=jnp.asarray(0.0, dtype))
         return acc
 
-    q, acc = _compact(child, cap_of(1), acc, bg)
+    q, acc, dropped = _compact(child, cap_of(1), acc, bg)
     stats = [n_live0[None]]
 
     def _zero_queue(cap):
@@ -317,10 +339,10 @@ def trace(
 
         def dead(args):
             q, acc = args
-            return _zero_queue(next_cap), acc
+            return _zero_queue(next_cap), acc, jnp.asarray(0.0, acc.dtype)
 
-        q, acc = jax.lax.cond(n_live > 0, live, dead, (q, acc))
-        return q, acc, n_live
+        q, acc, dropped = jax.lax.cond(n_live > 0, live, dead, (q, acc))
+        return q, acc, n_live, dropped
 
     # Head rounds with changing capacities run as specialized Python
     # rounds (static shapes per round); the uniform-capacity tail shares
@@ -330,19 +352,21 @@ def trace(
         tail_start -= 1
 
     for r in range(1, tail_start):
-        q, acc, n_live = round_r(q, acc, r, cap_of(r + 1))
+        q, acc, n_live, dr = round_r(q, acc, r, cap_of(r + 1))
+        dropped = dropped + dr
         stats.append(n_live[None])
 
     def body(carry, ridx):
-        q, acc = carry
-        q, acc, n_live = round_r(q, acc, ridx, cap_of(max_depth))
-        return (q, acc), n_live
+        q, acc, dropped = carry
+        q, acc, n_live, dr = round_r(q, acc, ridx, cap_of(max_depth))
+        return (q, acc, dropped + dr), n_live
 
-    (q, acc), n_lives = jax.lax.scan(
-        body, (q, acc), jnp.arange(tail_start, max_depth + 1)
+    (q, acc, dropped), n_lives = jax.lax.scan(
+        body, (q, acc, dropped), jnp.arange(tail_start, max_depth + 1)
     )
     stats.append(n_lives)
 
     if with_stats:
-        return acc, jnp.concatenate(stats)
+        return acc, TraceStats(
+            live=jnp.concatenate(stats), dropped_w=dropped / R0)
     return acc

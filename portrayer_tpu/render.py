@@ -56,8 +56,12 @@ def _tile_chunk(
     )
     bg = background(bg_uv).astype(dtype)  # [P,3]
 
-    # Jittered sample positions (render.rs:38-39): x + U[0,1).
-    jitter = jax.random.uniform(jax.random.fold_in(key, 0), (R, 2), dtype)
+    # Jittered sample positions (render.rs:38-39): x + U[0,1).  Drawn in
+    # f32 regardless of cfg.dtype so the f64 verification mode samples the
+    # SAME sub-pixel positions as f32 — the two renders then differ only
+    # by arithmetic precision, never by sampling noise.
+    jitter = jax.random.uniform(
+        jax.random.fold_in(key, 0), (R, 2), jnp.float32).astype(dtype)
     xs = jnp.repeat(px.astype(dtype), spp) + jitter[:, 0]
     ys = jnp.repeat(py.astype(dtype), spp) + jitter[:, 1]
     pix_id = jnp.repeat(jnp.arange(P, dtype=jnp.int32), spp)

@@ -144,29 +144,31 @@ SELF_GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "self_golden")
 
 
 def _self_golden_names():
-    if not os.path.isdir(SELF_GOLDEN_DIR):
-        return []
-    return sorted(
-        f[:-4] for f in os.listdir(SELF_GOLDEN_DIR) if f.endswith(".png")
-    )
+    """The FULL planned set — a scene whose PNG is missing FAILS (it does
+    not silently drop out of the parametrization, round-3 advisor)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.gen_self_goldens import SCENES
+
+    return list(SCENES)
 
 
 @pytest.mark.golden
-@pytest.mark.parametrize("name", _self_golden_names() or ["_none"])
+@pytest.mark.parametrize("name", _self_golden_names())
 def test_self_golden(name):
-    if name == "_none":
-        pytest.skip("no self-goldens generated")
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
     from tools.gen_self_goldens import render_one
 
-    gold = np.asarray(PILImage.open(
-        os.path.join(SELF_GOLDEN_DIR, f"{name}.png")).convert("RGB"),
-        dtype=np.int16)
+    path = os.path.join(SELF_GOLDEN_DIR, f"{name}.png")
+    assert os.path.exists(path), (
+        f"{name}: no committed self-golden — run tools/gen_self_goldens.py "
+        "and commit the PNG")
+    gold = np.asarray(PILImage.open(path).convert("RGB"), dtype=np.int16)
     ours = render_one(name).astype(np.int16)
     assert ours.shape == gold.shape, (ours.shape, gold.shape)
     diff = np.abs(ours - gold)
-    # Deterministic seed + flat accel: byte-identical modulo float
+    # Deterministic seed + beam accel: byte-identical modulo float
     # reassociation across XLA versions; allow 2/255 on isolated pixels.
     frac = (diff > 2).any(axis=-1).mean()
     assert frac < 1e-3, f"{name}: {frac:.2%} pixels differ (max {diff.max()})"

@@ -65,9 +65,11 @@ key = jax.random.PRNGKey(0)
 
 # live rays per round
 cfg = RenderConfig(samples=1, accel="pallas", max_depth=10)
-acc, lives = jax.jit(lambda k, o, d: tr.trace(
+acc, stats = jax.jit(lambda k, o, d: tr.trace(
     k, o, d, pix, bg, R, st, cfg, spp_contiguous=1, with_stats=True))(key, o, d)
-print("live rays per round:", np.asarray(lives).tolist(), flush=True)
+print("live rays per round:", np.asarray(stats.live).tolist(), flush=True)
+print("overflow-dropped throughput fraction:",
+      float(stats.dropped_w), flush=True)
 
 for depth in (0, 1, 2, 3):
     cfgd = RenderConfig(samples=1, accel="pallas", max_depth=depth)
