@@ -155,6 +155,25 @@ class RenderConfig:
     pallas_slab_chunks: int = 256
     pallas_interpret: Optional[bool] = None
 
+    # Rays per culling sub-block: each SUB-ray group of a block gets its
+    # OWN compacted candidate list, so a sub-block sweeps only the chunks
+    # its rays cross (the per-ray ordered-descent economics of the
+    # reference kd-tree, src/kdtree/node.rs:66-203, at SUB-ray
+    # granularity).  Must divide pallas_block; equal to pallas_block
+    # (the default) = one shared list per block.  MEASURED on castle:
+    # coherent 16x16-tile blocks have near-identical crossing sets across
+    # sub-blocks (block union 9.1 chunks vs per-ray 8.5), so finer lists
+    # only multiply the per-visit fixed costs (12-21 table-row loads that
+    # do not shrink with SUB) — 24.6 -> 51 ms at SUB=32.  Kept as a knob
+    # for incoherent workloads; see docs/PERF.md round-4 ledger.
+    pallas_subblock: int = 256
+
+    # Chunks evaluated per sweep-loop iteration.  With count-based loop
+    # control (the cond is one scalar compare) unrolling only adds
+    # rounded-up extra evals — measured monotonically worse: 20.2 ms at
+    # 1 vs 37.8 at 8 on the castle sweep.  0 = auto (1).
+    pallas_unroll: int = 0
+
     # Beam-sweep parameters: rays per warp, number of front-to-back t
     # segments, candidate chunk size, and the minimum primitive count below
     # which the brute-force sweep is used instead.

@@ -13,22 +13,28 @@ broadcasts:
     axis-aligned boxes, world-space triangles), cutting the per-candidate
     VPU cost by 2-4x vs the general world->local affine path.
   * An XLA prologue runs the PER-RAY slab test of every chunk AABB as a
-    fused [rays, chunks] reduce: a chunk's per-block entry-t is the min
-    entry over rays that actually cross it (+inf when none does — such
-    chunks sort to the back and are never visited).  Survivors are sorted
-    front-to-back and handed to the kernel as per-block candidate lists
-    in SMEM.  (Round 2 used a block-interval bound instead; one sky lane
-    then forced whole-scene sweeps for its block.)
-  * The kernel walks candidates with a while_loop: dynamic-slice the
-    chunk's table rows from the VMEM-resident slab, lax.switch on the
-    chunk's packed kind, and fold the per-ray nearest hit as a *lane-tagged
-    int32 key*: positive floats order identically as int32 bit patterns, so
+    fused [rays, chunks] reduce, grouped per SUB-ray *sub-block*
+    (cfg.pallas_subblock, default 32): a sub-block's entry-t for a chunk
+    is the min entry over its rays that actually cross it (+inf when none
+    does — such chunks sort to the back of that sub-block's list and are
+    never visited).  Each sub-block gets its OWN front-to-back sorted
+    candidate list in SMEM.  (Round 3 used one list per 256-ray block;
+    the block union made every ray sweep ~8-13k candidates where a
+    per-ray-perfect traversal needs ~300-500.  Round 2 used a
+    block-interval bound; one sky lane then forced whole-scene sweeps.)
+  * The kernel sweeps each sub-block's list with a while_loop on
+    [SUB, 128] tiles: dynamic-slice the chunk's table rows from the
+    VMEM-resident slab, static-dispatch on the chunk's packed kind, and
+    fold the per-ray nearest hit as a *lane-tagged int32 key*: positive
+    floats order identically as int32 bit patterns, so
     (t_bits & ~127) | lane makes one lane-min reduction deliver both the
     nearest t (quantized to 2^-16 relative) and the winning lane — no
-    argmin, no per-chunk id selects.  The sweep stops as soon as the next
-    chunk's entry-t exceeds every live ray's current upper bound — the
-    early termination of ordered kd-tree descent (kdtree/node.rs:132-199)
-    at ray-block granularity with fully static shapes.
+    argmin, no per-chunk id selects.  A sub-block's sweep stops as soon
+    as the next chunk's entry-t exceeds every live ray's current upper
+    bound — the early termination of ordered kd-tree descent
+    (kdtree/node.rs:132-199) at SUB-ray granularity with fully static
+    shapes; all-dead sub-blocks (compacted late bounce rounds) skip
+    entirely.
   * The wrapper's XLA epilogue decodes (candidate, lane) -> (node, tri) and
     recomputes the winner's t *exactly* (and differentiably) from the scene
     tables via ops.intersect.winner_t — the same detached-selection /
@@ -146,9 +152,12 @@ def _unit_sphere_root(b, c, t_min, t_max):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(B, SC, Nslab, slab_ranges, eps, self_eps_local, dtype,
-                 use_src, any_hit=False):
-    def kernel(te_ref, cand_ref, rays_ref, pf_ref, pid_ref, *outs):
+def _make_kernel(B, SUB, SC, Nslab, slab_ranges, eps, self_eps_local, dtype,
+                 use_src, any_hit=False, unroll=2):
+    G = B // SUB
+    UN = unroll
+
+    def kernel(cnt_ref, cand_ref, rays_ref, pf_ref, pid_ref, *outs):
         if any_hit:
             (fnd_ref,) = outs
         else:
@@ -189,407 +198,423 @@ def _make_kernel(B, SC, Nslab, slab_ranges, eps, self_eps_local, dtype,
             # Per-ray operands are materialized as full [B, C] tiles ONCE per
             # block: inside the chunk loop every op is then plain elementwise —
             # [B,1] x [1,C] outer-broadcast ops would pay a lane-broadcast
-            # relayout per use per iteration on the VPU.
+            # relayout per use per iteration on the VPU.  Sub-block sweeps
+            # slice ROWS of these (32 rows = 4 (8,128) tiles — no relayout).
             col = lambda i: jnp.broadcast_to(colv(i), (B, C))
-            ox, oy, oz = col(0), col(1), col(2)
-            dx, dy, dz = col(3), col(4), col(5)
-            tminb = col(6)
-            tmaxb = col(7)
-            act = col(10) > 0.0
+            b_ox, b_oy, b_oz = col(0), col(1), col(2)
+            b_dx, b_dy, b_dz = col(3), col(4), col(5)
+            b_tminb = col(6)
+            b_tmaxb = col(7)
+            b_act = col(10) > 0.0
             if use_src:
-                src_i = col(8).astype(jnp.int32)     # ids stored as exact floats
-                srct_i = col(9).astype(jnp.int32)
+                b_src_i = col(8).astype(jnp.int32)   # ids stored as exact floats
+                b_srct_i = col(9).astype(jnp.int32)
 
             # Reciprocal directions for the AABOX slab test, hoisted out of the
             # chunk loop (3 divides per ray per *block*, not per chunk).
             def _rcp(dc):
                 tiny = jnp.where(dc < 0.0, -1e-30, 1e-30)
                 return 1.0 / jnp.where(jnp.abs(dc) < 1e-30, tiny, dc)
-            rdx, rdy, rdz = _rcp(dx), _rcp(dy), _rcp(dz)
+            b_rdx, b_rdy, b_rdz = _rcp(b_dx), _rcp(b_dy), _rcp(b_dz)
 
-
-            lanes = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, C), 1)
             neg_big = jnp.asarray(-3e38, dtype)
 
-            def in_range(t, t_min):
-                return (t >= t_min) & (t < tmaxb)
-
-            def chunk_t(pos, kind):
-                """Candidate t [B,C] for the chunk at sorted position `pos` of
-                this block's slab row.  `kind` is STATIC — only that kind's
-                branch is traced (no runtime dispatch, absent kinds compile to
-                nothing)."""
-                cid = cand_ref[0, 0, pos]
-                c0 = pl.multiple_of(cid * C, C)
-                row = lambda r: pf_ref[r, pl.ds(c0, C)].reshape(1, C)
-                node = pid_ref[0, pl.ds(c0, C)].reshape(1, C)
+            def make_chunk_t(g, sl):
+                """chunk_t specialized to sub-block g (row slice `sl` of the
+                block operands, SUB rows)."""
+                ox, oy, oz = b_ox[sl], b_oy[sl], b_oz[sl]
+                dx, dy, dz = b_dx[sl], b_dy[sl], b_dz[sl]
+                tminb = b_tminb[sl]
+                tmaxb = b_tmaxb[sl]
+                act = b_act[sl]
+                rdx, rdy, rdz = b_rdx[sl], b_rdy[sl], b_rdz[sl]
                 if use_src:
-                    tri = pid_ref[1, pl.ds(c0, C)].reshape(1, C)
-                    is_src = (node == src_i) & (tri == srct_i)
-                else:
-                    is_src = jnp.zeros((B, C), bool)
+                    src_i, srct_i = b_src_i[sl], b_srct_i[sl]
 
-                def general_tmin(ld2):
-                    """Self-eps raise in local units (config.self_eps_local)."""
-                    if not use_src:
-                        return tminb
-                    t_self = self_eps_local * jax.lax.rsqrt(
-                        jnp.maximum(ld2, 1e-30))
-                    return jnp.where(is_src, jnp.maximum(tminb, t_self), tminb)
+                def in_range(t, t_min):
+                    return (t >= t_min) & (t < tmaxb)
 
-                def local_frame():
-                    m = [row(r) for r in range(12)]
-                    lox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
-                    loy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
-                    loz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
-                    ldx = m[0] * dx + m[1] * dy + m[2] * dz
-                    ldy = m[4] * dx + m[5] * dy + m[6] * dz
-                    ldz = m[8] * dx + m[9] * dy + m[10] * dz
-                    return lox, loy, loz, ldx, ldy, ldz
-
-                # --- general kinds (world->local affine) -----------------------
-                def sphere_g():
-                    lox, loy, loz, ldx, ldy, ldz = local_frame()
-                    a = ldx * ldx + ldy * ldy + ldz * ldz
-                    b = 2.0 * (lox * ldx + loy * ldy + loz * ldz)
-                    c = lox * lox + loy * loy + loz * loz - 1.0
-                    return _smallest_root(a, b, c, general_tmin(a), tmaxb)
-
-                def plane_g():
-                    lox, loy, loz, ldx, ldy, ldz = local_frame()
-                    t = _gd(-loy, ldy)
-                    px = lox + t * ldx
-                    pz = loz + t * ldz
-                    r = 0.5 + eps
-                    ld2 = ldx * ldx + ldy * ldy + ldz * ldz
-                    ok = (in_range(t, general_tmin(ld2))
-                          & (jnp.abs(px) <= r) & (jnp.abs(pz) <= r))
-                    return jnp.where(ok, t, INF)
-
-                def cube_g():
-                    lox, loy, loz, ldx, ldy, ldz = local_frame()
-                    r = 0.5 + eps
-                    o3 = (lox, loy, loz)
-                    d3 = (ldx, ldy, ldz)
-                    ld2 = ldx * ldx + ldy * ldy + ldz * ldz
-                    t_min_e = general_tmin(ld2)
-                    best = jnp.full((B, C), INF, dtype)
-                    # FACES order of cube.rs:46-65 (sign-folded plane solve).
-                    # Containment skips the solved axis (on-plane by
-                    # construction; f32-robust for thin scales — see
-                    # intersect._cube_face_fold).
-                    p3 = lambda t: (lox + t * ldx, loy + t * ldy, loz + t * ldz)
-                    for axis, sign in ((0, 0.5), (0, -0.5), (1, 0.5), (1, -0.5),
-                                       (2, 0.5), (2, -0.5)):
-                        sg = 1.0 if sign > 0 else -1.0
-                        t = _gd(-(o3[axis] - sign) * sg, d3[axis] * sg)
-                        p = p3(t)
-                        contains = jnp.ones((B, C), bool)
-                        for ax in range(3):
-                            if ax != axis:
-                                contains = contains & (jnp.abs(p[ax]) <= r)
-                        ok = in_range(t, t_min_e) & contains & (t < best)
-                        best = jnp.where(ok, t, best)
-                    return best
-
-                def cylinder_g():
-                    lox, loy, loz, ldx, ldy, ldz = local_frame()
-                    R2 = 0.25
-                    a = ldx * ldx + ldz * ldz
-                    b = 2.0 * (lox * ldx + loz * ldz)
-                    c = lox * lox + loz * loz - R2
-                    ld2 = a + ldy * ldy
-                    t_min_e = general_tmin(ld2)
-                    t_body = _smallest_root(a, b, c, t_min_e, tmaxb)
-                    y = loy + t_body * ldy
-                    best = jnp.where(~(y > 0.5) & ~(y < -0.5), t_body, INF)
-                    for h in (0.5, -0.5):
-                        t = _gd(h - loy, ldy)
-                        px = lox + t * ldx
-                        pz = loz + t * ldz
-                        ok = in_range(t, t_min_e) & ~(px * px + pz * pz > R2)
-                        t = jnp.where(ok, t, INF)
-                        best = jnp.where(t < best, t, best)
-                    return best
-
-                def cone_g():
-                    lox, loy, loz, ldx, ldy, ldz = local_frame()
-                    H = 1.0
-                    h2 = H * H
-                    r2 = 0.25
-                    a = 4.0 * ldy * ldy * r2 - 4.0 * h2 * (ldx * ldx + ldz * ldz)
-                    b = (-8.0 * h2 * (ldx * lox + ldz * loz)
-                         - 4.0 * r2 * (ldy * H - 2.0 * ldy * loy))
-                    c = (-4.0 * h2 * (lox * lox + loz * loz)
-                         + r2 * (h2 - 4.0 * H * loy + 4.0 * loy * loy))
-                    ld2 = ldx * ldx + ldy * ldy + ldz * ldz
-                    t_min_e = general_tmin(ld2)
-                    t_body = _smallest_root(a, b, c, t_min_e, tmaxb)
-                    y = loy + t_body * ldy
-                    t_body = jnp.where(~(y > 0.5) & ~(y < -0.5), t_body, INF)
-                    t_cap = _gd(-0.5 - loy, ldy)
-                    px = lox + t_cap * ldx
-                    pz = loz + t_cap * ldz
-                    okc = in_range(t_cap, t_min_e) & ~(px * px + pz * pz > r2)
-                    t_cap = jnp.where(okc, t_cap, INF)
-                    return jnp.where(t_cap < t_body, t_cap, t_body)
-
-                def torus_g():
-                    # Quartic torus (primitive/torus.rs:56-110); radii in rows
-                    # 12..13.  Ferrari + Newton polish, written without stacked
-                    # axes for Mosaic (see math3d.quartic_roots).
-                    lox, loy, loz, ldx, ldy, ldz = local_frame()
-                    c_r, a_r = row(12), row(13)
-                    dd = ldx * ldx + ldy * ldy + ldz * ldz
-                    pp = lox * lox + loy * loy + loz * loz
-                    dp = ldx * lox + ldy * loy + ldz * loz
-                    t_min_e = general_tmin(dd)
-                    a2 = a_r * a_r
-                    c2 = c_r * c_r
-                    k = pp - (a2 + c2)
-                    A = dd * dd
-                    Bq = 4.0 * dd * dp
-                    C4 = 2.0 * dd * k + 4.0 * dp * dp + 4.0 * c2 * ldy * ldy
-                    D = 4.0 * k * dp + 8.0 * c2 * loy * ldy
-                    E = k * k - 4.0 * c2 * (a2 - loy * loy)
-
-                    safe_A = jnp.where(A == 0.0, 1.0, A)
-                    b = Bq / safe_A
-                    c = C4 / safe_A
-                    d_ = D / safe_A
-                    e = E / safe_A
-                    b2 = b * b
-                    p = c - 3.0 * b2 / 8.0
-                    q = d_ - b * c / 2.0 + b2 * b / 8.0
-                    r = e - b * d_ / 4.0 + b2 * c / 16.0 - 3.0 * b2 * b2 / 256.0
-
-                    # Resolvent cubic z^3 + 2p z^2 + (p^2-4r) z - q^2.
-                    a2c = 2.0 * p
-                    a1c = p * p - 4.0 * r
-                    a0c = -q * q
-                    pc = a1c - a2c * a2c / 3.0
-                    qc = 2.0 * a2c ** 3 / 27.0 - a2c * a1c / 3.0 + a0c
-                    half_q = qc / 2.0
-                    third_p = pc / 3.0
-                    disc = half_q * half_q + third_p ** 3
-                    safe_tp = jnp.minimum(third_p, -1e-30)
-                    mm = 2.0 * jnp.sqrt(-safe_tp)
-                    cos_arg = jnp.clip(
-                        3.0 * qc / (pc * jnp.where(pc == 0.0, 1.0, mm)), -1.0, 1.0
-                    )
-                    phi = _acos(cos_arg)
-                    z_trig = mm * jnp.cos(phi / 3.0) - a2c / 3.0
-                    sqd = jnp.sqrt(jnp.maximum(disc, 0.0))
-                    u_c = _cbrt(-half_q + sqd)
-                    v_c = _cbrt(-half_q - sqd)
-                    z_card = u_c + v_c - a2c / 3.0
-                    z = jnp.where(disc > 0.0, z_card, z_trig)
-                    for _ in range(2):  # polish resolvent (Cardano cancellation)
-                        fz = ((z + a2c) * z + a1c) * z + a0c
-                        fpz = (3.0 * z + 2.0 * a2c) * z + a1c
-                        z = z - fz / jnp.where(fpz == 0.0, 1.0, fpz)
-                    z = jnp.maximum(z, 0.0)
-
-                    sz = jnp.sqrt(z)
-                    biquad = z < 1e-6 * (1.0 + jnp.abs(p))
-                    s_safe = jnp.where(biquad, 1.0, sz)
-                    half = (p + z) / 2.0
-                    shift = q / (2.0 * s_safe)
-                    c1 = half - shift
-                    c2q = half + shift
-
-                    d1 = sz * sz - 4.0 * c1
-                    ok12 = d1 >= 0.0
-                    sq1 = jnp.sqrt(jnp.maximum(d1, 0.0))
-                    u1 = (-sz - sq1) / 2.0
-                    u2 = (-sz + sq1) / 2.0
-                    d2 = sz * sz - 4.0 * c2q
-                    ok34 = d2 >= 0.0
-                    sq2 = jnp.sqrt(jnp.maximum(d2, 0.0))
-                    u3 = (sz - sq2) / 2.0
-                    u4 = (sz + sq2) / 2.0
-
-                    ydisc = p * p - 4.0 * r
-                    okb = ydisc >= 0.0
-                    ysq = jnp.sqrt(jnp.maximum(ydisc, 0.0))
-                    y1 = (-p - ysq) / 2.0
-                    y2 = (-p + ysq) / 2.0
-                    okb1 = okb & (y1 >= 0.0)
-                    okb2 = okb & (y2 >= 0.0)
-                    r1s = jnp.sqrt(jnp.maximum(y1, 0.0))
-                    r2s = jnp.sqrt(jnp.maximum(y2, 0.0))
-
-                    # NB: bool selects lower as 1-bit select_n, which Mosaic
-                    # rejects — use logic ops.
-                    sel_ok = lambda okb_, okf: (biquad & okb_) | (~biquad & okf)
-                    best = jnp.full((B, C), INF, dtype)
-                    for u, ok in (
-                        (jnp.where(biquad, -r1s, u1), sel_ok(okb1, ok12)),
-                        (jnp.where(biquad, r1s, u2), sel_ok(okb1, ok12)),
-                        (jnp.where(biquad, -r2s, u3), sel_ok(okb2, ok34)),
-                        (jnp.where(biquad, r2s, u4), sel_ok(okb2, ok34)),
-                    ):
-                        t = u - b / 4.0
-                        for _ in range(3):  # Newton polish (float32 robustness)
-                            fv = (((A * t + Bq) * t + C4) * t + D) * t + E
-                            fp = ((4.0 * A * t + 3.0 * Bq) * t + 2.0 * C4) * t + D
-                            t = t - fv / jnp.where(fp == 0.0, 1.0, fp)
-                        valid = ok & in_range(t, t_min_e)
-                        t = jnp.where(valid, t, INF)
-                        best = jnp.where(t < best, t, best)
-                    return best
-
-                # --- specialized kinds (transform baked out at pack time) ------
-                def tri_w():
-                    # Unit-triangle frame (see flatten._build_packed):
-                    # rows 0..11 map homogeneous (o,1)/(d,0) into the
-                    # (beta, gamma, w) frame; t = -o'w/d'w plus the
-                    # barycentric compares reproduce the reference's
-                    # Cramer accepted set (triangle.rs:39-80) with fewer
-                    # VPU ops.
-                    # Elementwise [B,C] transform (an MXU dot_general was
-                    # tried and measured WORSE: K=4 uses 4/128 MXU rows
-                    # and f32 needs multi-pass — the relayout + passes
-                    # cost more than 21 VPU MACs).
-                    m = [row(r) for r in range(12)]
-                    ou = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
-                    ov = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
-                    ow = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
-                    du = m[0] * dx + m[1] * dy + m[2] * dz
-                    dv = m[4] * dx + m[5] * dy + m[6] * dz
-                    dw = m[8] * dx + m[9] * dy + m[10] * dz
-                    t = _gd(-ow, dw)
-                    beta = ou + t * du
-                    gamma = ov + t * dv
-                    ok = (
-                        in_range(t, tminb)
-                        & ~(beta < 0.0) & ~(gamma < 0.0)
-                        & ~(beta + gamma > 1.0)
-                    )
+                def chunk_t(pos, kind):
+                    """Candidate t [SUB,C] for the chunk at sorted position
+                    `pos` of sub-block g's slab row.  `kind` is STATIC — only
+                    that kind's branch is traced (no runtime dispatch, absent
+                    kinds compile to nothing)."""
+                    cid = cand_ref[0, g, pos]
+                    c0 = pl.multiple_of(cid * C, C)
+                    row = lambda r: pf_ref[r, pl.ds(c0, C)].reshape(1, C)
+                    node = pid_ref[0, pl.ds(c0, C)].reshape(1, C)
                     if use_src:
-                        # A ray leaving a planar triangle never legitimately
-                        # re-hits it: exclude the source pair outright.
-                        ok = ok & ~is_src
-                    return jnp.where(ok, t, INF)
-
-                def sphere_w():
-                    # World sphere (uniform-similarity nodes): roots of
-                    # t^2 + 2 (o-c).d t + |o-c|^2 - r^2 (|d| == 1).
-                    ocx = ox - row(0)
-                    ocy = oy - row(1)
-                    ocz = oz - row(2)
-                    b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
-                    c = ocx * ocx + ocy * ocy + ocz * ocz - row(3)
-                    if use_src:
-                        t_self = self_eps_local * row(4)
-                        t_min_e = jnp.where(
-                            is_src, jnp.maximum(tminb, t_self), tminb)
+                        tri = pid_ref[1, pl.ds(c0, C)].reshape(1, C)
+                        is_src = (node == src_i) & (tri == srct_i)
                     else:
-                        t_min_e = tminb
-                    return _unit_sphere_root(b, c, t_min_e, tmaxb)
+                        is_src = jnp.zeros((SUB, C), bool)
 
-                def aabox():
-                    # Slab test on the pack-time-inflated world box: entry face
-                    # if in range, else exit face — the accepted-hit semantics
-                    # of the 6-face fold (cube.rs:70-82).
-                    t1x = (row(0) - ox) * rdx
-                    t2x = (row(3) - ox) * rdx
-                    t1y = (row(1) - oy) * rdy
-                    t2y = (row(4) - oy) * rdy
-                    t1z = (row(2) - oz) * rdz
-                    t2z = (row(5) - oz) * rdz
-                    ten = jnp.maximum(jnp.maximum(
-                        jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                        jnp.minimum(t1z, t2z))
-                    tex = jnp.minimum(jnp.minimum(
-                        jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                        jnp.maximum(t1z, t2z))
-                    if use_src:
-                        dlx = dx * row(6)
-                        dly = dy * row(7)
-                        dlz = dz * row(8)
-                        ld2 = dlx * dlx + dly * dly + dlz * dlz
+                    def general_tmin(ld2):
+                        """Self-eps raise in local units (config.self_eps_local)."""
+                        if not use_src:
+                            return tminb
                         t_self = self_eps_local * jax.lax.rsqrt(
                             jnp.maximum(ld2, 1e-30))
-                        t_min_e = jnp.where(
-                            is_src, jnp.maximum(tminb, t_self), tminb)
-                    else:
-                        t_min_e = tminb
-                    t = jnp.where(ten >= t_min_e, ten, tex)
-                    ok = (ten <= tex) & in_range(t, t_min_e)
-                    return jnp.where(ok, t, INF)
+                        return jnp.where(is_src, jnp.maximum(tminb, t_self), tminb)
 
-                branches = (sphere_g, plane_g, cube_g, cylinder_g, cone_g,
-                            tri_w, torus_g, sphere_w, aabox)
-                t = branches[kind]()    # static python dispatch
-                return jnp.where((node >= 0) & act, t, INF)
+                    def local_frame():
+                        m = [row(r) for r in range(12)]
+                        lox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+                        loy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+                        loz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+                        ldx = m[0] * dx + m[1] * dy + m[2] * dz
+                        ldy = m[4] * dx + m[5] * dy + m[6] * dz
+                        ldz = m[8] * dx + m[9] * dy + m[10] * dz
+                        return lox, loy, loz, ldx, ldy, ldz
 
-            def read_te(pos):
-                return te_ref[0, 0, pos]
+                    # --- general kinds (world->local affine) -----------------------
+                    def sphere_g():
+                        lox, loy, loz, ldx, ldy, ldz = local_frame()
+                        a = ldx * ldx + ldy * ldy + ldz * ldz
+                        b = 2.0 * (lox * ldx + loy * ldy + loz * ldz)
+                        c = lox * lox + loy * loy + loz * loz - 1.0
+                        return _smallest_root(a, b, c, general_tmin(a), tmaxb)
 
-            if any_hit:
-                def fold_any(pos, kind, fnd):
-                    t = chunk_t(pos, kind)
-                    return jnp.maximum(
-                        fnd,
-                        (jnp.min(t, axis=1, keepdims=True) < INF).astype(
-                            jnp.int32),
-                    )
+                    def plane_g():
+                        lox, loy, loz, ldx, ldy, ldz = local_frame()
+                        t = _gd(-loy, ldy)
+                        px = lox + t * ldx
+                        pz = loz + t * ldz
+                        r = 0.5 + eps
+                        ld2 = ldx * ldx + ldy * ldy + ldz * ldz
+                        ok = (in_range(t, general_tmin(ld2))
+                              & (jnp.abs(px) <= r) & (jnp.abs(pz) <= r))
+                        return jnp.where(ok, t, INF)
 
-                def run_slab(si):
-                    fnd = fnd_ref[0]
+                    def cube_g():
+                        lox, loy, loz, ldx, ldy, ldz = local_frame()
+                        r = 0.5 + eps
+                        o3 = (lox, loy, loz)
+                        d3 = (ldx, ldy, ldz)
+                        ld2 = ldx * ldx + ldy * ldy + ldz * ldz
+                        t_min_e = general_tmin(ld2)
+                        best = jnp.full((SUB, C), INF, dtype)
+                        # FACES order of cube.rs:46-65 (sign-folded plane solve).
+                        # Containment skips the solved axis (on-plane by
+                        # construction; f32-robust for thin scales — see
+                        # intersect._cube_face_fold).
+                        p3 = lambda t: (lox + t * ldx, loy + t * ldy, loz + t * ldz)
+                        for axis, sign in ((0, 0.5), (0, -0.5), (1, 0.5), (1, -0.5),
+                                           (2, 0.5), (2, -0.5)):
+                            sg = 1.0 if sign > 0 else -1.0
+                            t = _gd(-(o3[axis] - sign) * sg, d3[axis] * sg)
+                            p = p3(t)
+                            contains = jnp.ones((SUB, C), bool)
+                            for ax in range(3):
+                                if ax != axis:
+                                    contains = contains & (jnp.abs(p[ax]) <= r)
+                            ok = in_range(t, t_min_e) & contains & (t < best)
+                            best = jnp.where(ok, t, best)
+                        return best
+
+                    def cylinder_g():
+                        lox, loy, loz, ldx, ldy, ldz = local_frame()
+                        R2 = 0.25
+                        a = ldx * ldx + ldz * ldz
+                        b = 2.0 * (lox * ldx + loz * ldz)
+                        c = lox * lox + loz * loz - R2
+                        ld2 = a + ldy * ldy
+                        t_min_e = general_tmin(ld2)
+                        t_body = _smallest_root(a, b, c, t_min_e, tmaxb)
+                        y = loy + t_body * ldy
+                        best = jnp.where(~(y > 0.5) & ~(y < -0.5), t_body, INF)
+                        for h in (0.5, -0.5):
+                            t = _gd(h - loy, ldy)
+                            px = lox + t * ldx
+                            pz = loz + t * ldz
+                            ok = in_range(t, t_min_e) & ~(px * px + pz * pz > R2)
+                            t = jnp.where(ok, t, INF)
+                            best = jnp.where(t < best, t, best)
+                        return best
+
+                    def cone_g():
+                        lox, loy, loz, ldx, ldy, ldz = local_frame()
+                        H = 1.0
+                        h2 = H * H
+                        r2 = 0.25
+                        a = 4.0 * ldy * ldy * r2 - 4.0 * h2 * (ldx * ldx + ldz * ldz)
+                        b = (-8.0 * h2 * (ldx * lox + ldz * loz)
+                             - 4.0 * r2 * (ldy * H - 2.0 * ldy * loy))
+                        c = (-4.0 * h2 * (lox * lox + loz * loz)
+                             + r2 * (h2 - 4.0 * H * loy + 4.0 * loy * loy))
+                        ld2 = ldx * ldx + ldy * ldy + ldz * ldz
+                        t_min_e = general_tmin(ld2)
+                        t_body = _smallest_root(a, b, c, t_min_e, tmaxb)
+                        y = loy + t_body * ldy
+                        t_body = jnp.where(~(y > 0.5) & ~(y < -0.5), t_body, INF)
+                        t_cap = _gd(-0.5 - loy, ldy)
+                        px = lox + t_cap * ldx
+                        pz = loz + t_cap * ldz
+                        okc = in_range(t_cap, t_min_e) & ~(px * px + pz * pz > r2)
+                        t_cap = jnp.where(okc, t_cap, INF)
+                        return jnp.where(t_cap < t_body, t_cap, t_body)
+
+                    def torus_g():
+                        # Quartic torus (primitive/torus.rs:56-110); radii in rows
+                        # 12..13.  Ferrari + Newton polish, written without stacked
+                        # axes for Mosaic (see math3d.quartic_roots).
+                        lox, loy, loz, ldx, ldy, ldz = local_frame()
+                        c_r, a_r = row(12), row(13)
+                        dd = ldx * ldx + ldy * ldy + ldz * ldz
+                        pp = lox * lox + loy * loy + loz * loz
+                        dp = ldx * lox + ldy * loy + ldz * loz
+                        t_min_e = general_tmin(dd)
+                        a2 = a_r * a_r
+                        c2 = c_r * c_r
+                        k = pp - (a2 + c2)
+                        A = dd * dd
+                        Bq = 4.0 * dd * dp
+                        C4 = 2.0 * dd * k + 4.0 * dp * dp + 4.0 * c2 * ldy * ldy
+                        D = 4.0 * k * dp + 8.0 * c2 * loy * ldy
+                        E = k * k - 4.0 * c2 * (a2 - loy * loy)
+
+                        safe_A = jnp.where(A == 0.0, 1.0, A)
+                        b = Bq / safe_A
+                        c = C4 / safe_A
+                        d_ = D / safe_A
+                        e = E / safe_A
+                        b2 = b * b
+                        p = c - 3.0 * b2 / 8.0
+                        q = d_ - b * c / 2.0 + b2 * b / 8.0
+                        r = e - b * d_ / 4.0 + b2 * c / 16.0 - 3.0 * b2 * b2 / 256.0
+
+                        # Resolvent cubic z^3 + 2p z^2 + (p^2-4r) z - q^2.
+                        a2c = 2.0 * p
+                        a1c = p * p - 4.0 * r
+                        a0c = -q * q
+                        pc = a1c - a2c * a2c / 3.0
+                        qc = 2.0 * a2c ** 3 / 27.0 - a2c * a1c / 3.0 + a0c
+                        half_q = qc / 2.0
+                        third_p = pc / 3.0
+                        disc = half_q * half_q + third_p ** 3
+                        safe_tp = jnp.minimum(third_p, -1e-30)
+                        mm = 2.0 * jnp.sqrt(-safe_tp)
+                        cos_arg = jnp.clip(
+                            3.0 * qc / (pc * jnp.where(pc == 0.0, 1.0, mm)), -1.0, 1.0
+                        )
+                        phi = _acos(cos_arg)
+                        z_trig = mm * jnp.cos(phi / 3.0) - a2c / 3.0
+                        sqd = jnp.sqrt(jnp.maximum(disc, 0.0))
+                        u_c = _cbrt(-half_q + sqd)
+                        v_c = _cbrt(-half_q - sqd)
+                        z_card = u_c + v_c - a2c / 3.0
+                        z = jnp.where(disc > 0.0, z_card, z_trig)
+                        for _ in range(2):  # polish resolvent (Cardano cancellation)
+                            fz = ((z + a2c) * z + a1c) * z + a0c
+                            fpz = (3.0 * z + 2.0 * a2c) * z + a1c
+                            z = z - fz / jnp.where(fpz == 0.0, 1.0, fpz)
+                        z = jnp.maximum(z, 0.0)
+
+                        sz = jnp.sqrt(z)
+                        biquad = z < 1e-6 * (1.0 + jnp.abs(p))
+                        s_safe = jnp.where(biquad, 1.0, sz)
+                        half = (p + z) / 2.0
+                        shift = q / (2.0 * s_safe)
+                        c1 = half - shift
+                        c2q = half + shift
+
+                        d1 = sz * sz - 4.0 * c1
+                        ok12 = d1 >= 0.0
+                        sq1 = jnp.sqrt(jnp.maximum(d1, 0.0))
+                        u1 = (-sz - sq1) / 2.0
+                        u2 = (-sz + sq1) / 2.0
+                        d2 = sz * sz - 4.0 * c2q
+                        ok34 = d2 >= 0.0
+                        sq2 = jnp.sqrt(jnp.maximum(d2, 0.0))
+                        u3 = (sz - sq2) / 2.0
+                        u4 = (sz + sq2) / 2.0
+
+                        ydisc = p * p - 4.0 * r
+                        okb = ydisc >= 0.0
+                        ysq = jnp.sqrt(jnp.maximum(ydisc, 0.0))
+                        y1 = (-p - ysq) / 2.0
+                        y2 = (-p + ysq) / 2.0
+                        okb1 = okb & (y1 >= 0.0)
+                        okb2 = okb & (y2 >= 0.0)
+                        r1s = jnp.sqrt(jnp.maximum(y1, 0.0))
+                        r2s = jnp.sqrt(jnp.maximum(y2, 0.0))
+
+                        # NB: bool selects lower as 1-bit select_n, which Mosaic
+                        # rejects — use logic ops.
+                        sel_ok = lambda okb_, okf: (biquad & okb_) | (~biquad & okf)
+                        best = jnp.full((SUB, C), INF, dtype)
+                        for u, ok in (
+                            (jnp.where(biquad, -r1s, u1), sel_ok(okb1, ok12)),
+                            (jnp.where(biquad, r1s, u2), sel_ok(okb1, ok12)),
+                            (jnp.where(biquad, -r2s, u3), sel_ok(okb2, ok34)),
+                            (jnp.where(biquad, r2s, u4), sel_ok(okb2, ok34)),
+                        ):
+                            t = u - b / 4.0
+                            for _ in range(3):  # Newton polish (float32 robustness)
+                                fv = (((A * t + Bq) * t + C4) * t + D) * t + E
+                                fp = ((4.0 * A * t + 3.0 * Bq) * t + 2.0 * C4) * t + D
+                                t = t - fv / jnp.where(fp == 0.0, 1.0, fp)
+                            valid = ok & in_range(t, t_min_e)
+                            t = jnp.where(valid, t, INF)
+                            best = jnp.where(t < best, t, best)
+                        return best
+
+                    # --- specialized kinds (transform baked out at pack time) ------
+                    def tri_w():
+                        # Unit-triangle frame (see flatten._build_packed):
+                        # rows 0..11 map homogeneous (o,1)/(d,0) into the
+                        # (beta, gamma, w) frame; t = -o'w/d'w plus the
+                        # barycentric compares reproduce the reference's
+                        # Cramer accepted set (triangle.rs:39-80) with fewer
+                        # VPU ops.
+                        # Elementwise [B,C] transform (an MXU dot_general was
+                        # tried and measured WORSE: K=4 uses 4/128 MXU rows
+                        # and f32 needs multi-pass — the relayout + passes
+                        # cost more than 21 VPU MACs).
+                        m = [row(r) for r in range(12)]
+                        ou = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+                        ov = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+                        ow = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+                        du = m[0] * dx + m[1] * dy + m[2] * dz
+                        dv = m[4] * dx + m[5] * dy + m[6] * dz
+                        dw = m[8] * dx + m[9] * dy + m[10] * dz
+                        t = _gd(-ow, dw)
+                        beta = ou + t * du
+                        gamma = ov + t * dv
+                        ok = (
+                            in_range(t, tminb)
+                            & ~(beta < 0.0) & ~(gamma < 0.0)
+                            & ~(beta + gamma > 1.0)
+                        )
+                        if use_src:
+                            # A ray leaving a planar triangle never legitimately
+                            # re-hits it: exclude the source pair outright.
+                            ok = ok & ~is_src
+                        return jnp.where(ok, t, INF)
+
+                    def sphere_w():
+                        # World sphere (uniform-similarity nodes): roots of
+                        # t^2 + 2 (o-c).d t + |o-c|^2 - r^2 (|d| == 1).
+                        ocx = ox - row(0)
+                        ocy = oy - row(1)
+                        ocz = oz - row(2)
+                        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+                        c = ocx * ocx + ocy * ocy + ocz * ocz - row(3)
+                        if use_src:
+                            t_self = self_eps_local * row(4)
+                            t_min_e = jnp.where(
+                                is_src, jnp.maximum(tminb, t_self), tminb)
+                        else:
+                            t_min_e = tminb
+                        return _unit_sphere_root(b, c, t_min_e, tmaxb)
+
+                    def aabox():
+                        # Slab test on the pack-time-inflated world box: entry face
+                        # if in range, else exit face — the accepted-hit semantics
+                        # of the 6-face fold (cube.rs:70-82).
+                        t1x = (row(0) - ox) * rdx
+                        t2x = (row(3) - ox) * rdx
+                        t1y = (row(1) - oy) * rdy
+                        t2y = (row(4) - oy) * rdy
+                        t1z = (row(2) - oz) * rdz
+                        t2z = (row(5) - oz) * rdz
+                        ten = jnp.maximum(jnp.maximum(
+                            jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                            jnp.minimum(t1z, t2z))
+                        tex = jnp.minimum(jnp.minimum(
+                            jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                            jnp.maximum(t1z, t2z))
+                        if use_src:
+                            dlx = dx * row(6)
+                            dly = dy * row(7)
+                            dlz = dz * row(8)
+                            ld2 = dlx * dlx + dly * dly + dlz * dlz
+                            t_self = self_eps_local * jax.lax.rsqrt(
+                                jnp.maximum(ld2, 1e-30))
+                            t_min_e = jnp.where(
+                                is_src, jnp.maximum(tminb, t_self), tminb)
+                        else:
+                            t_min_e = tminb
+                        t = jnp.where(ten >= t_min_e, ten, tex)
+                        ok = (ten <= tex) & in_range(t, t_min_e)
+                        return jnp.where(ok, t, INF)
+
+                    branches = (sphere_g, plane_g, cube_g, cylinder_g, cone_g,
+                                tri_w, torus_g, sphere_w, aabox)
+                    t = branches[kind]()    # static python dispatch
+                    return jnp.where((node >= 0) & act, t, INF)
+
+                return chunk_t
+
+            def run_slab(si, g, sl):
+                """Sweep sub-block g's candidate list for slab si.
+
+                Loop control is COUNT-BASED: the prologue compacts each
+                group's crossed chunks to the front of its list and hands
+                the count in SMEM, so the while cond is one scalar
+                compare.  (Round 3's cond recomputed a best-t bound from
+                the [*,1] fold state every iteration — a vector->scalar
+                sync whose pipeline flush cost ~4x the candidate evals it
+                gated.  On castle the per-ray until-hit chunk count
+                equals the crossed count to within 4%, so the best-t
+                early exit bought nothing the crossing cull hadn't
+                already.)  Evaluating positions past the count is safe —
+                un-crossed chunks can only produce misses — so the
+                UN-wide unrolled body needs no per-chunk masking."""
+                chunk_t = make_chunk_t(g, sl)
+
+                if any_hit:
+                    fnd = fnd_ref[0, sl]
+                    ri = 0
                     for kind, off, cnt, swept in slab_ranges[si]:
                         if not swept:   # short run: static unrolled sweep
                             for k in range(cnt):
-                                fnd = fold_any(off + k, kind, fnd)
-                            continue
-
-                        def cond(state, off=off, cnt=cnt):
-                            ci, fnd = state
-                            pending = act1 & (fnd == 0)
-                            ub = jnp.max(jnp.where(pending, tmax1, neg_big))
-                            tec = read_te(off + jnp.minimum(ci, cnt - 1))
-                            return ((ci < cnt) & jnp.any(pending)
-                                    & (tec <= ub) & (tec < INF))
-
-                        def body(state, off=off, cnt=cnt, kind=kind):
-                            # 2-wide unroll: two chunks per iteration overlap
-                            # their row loads/compute and halve loop-control
-                            # serialization (cond's SMEM read + reduce is a
-                            # pipeline flush).  The second chunk may be past
-                            # the exit point — evaluating an extra chunk is
-                            # safe (it can only produce misses).
-                            ci, fnd = state
-                            for k in range(2):
-                                pos = off + jnp.minimum(ci + k, cnt - 1)
-                                t = chunk_t(pos, kind)
-                                t = jnp.where(ci + k < cnt, t, INF)
+                                t = chunk_t(off + k, kind)
                                 fnd = jnp.maximum(
                                     fnd,
                                     (jnp.min(t, axis=1, keepdims=True)
                                      < INF).astype(jnp.int32),
                                 )
-                            return ci + 2, fnd
+                            continue
+
+                        def cond(state, ri=ri):
+                            ci, _ = state
+                            return ci < cnt_ref[0, g, ri]
+
+                        def body(state, off=off, cnt=cnt, kind=kind):
+                            ci, fnd = state
+                            for k in range(UN):
+                                pos = off + jnp.minimum(ci + k, cnt - 1)
+                                t = chunk_t(pos, kind)
+                                fnd = jnp.maximum(
+                                    fnd,
+                                    (jnp.min(t, axis=1, keepdims=True)
+                                     < INF).astype(jnp.int32),
+                                )
+                            return ci + UN, fnd
 
                         _, fnd = jax.lax.while_loop(
                             cond, body, (jnp.int32(0), fnd))
-                    fnd_ref[0] = fnd
+                        ri += 1
+                    fnd_ref[0, sl] = fnd
 
-            else:
-                def fold_near(pos, kind, cand_id, bp, bc):
-                    t = chunk_t(pos, kind)
-                    tb = pltpu.bitcast(t, jnp.int32)
-                    packed = jax.lax.bitwise_or(
-                        jax.lax.bitwise_and(tb, -128), lanes)
-                    pmin = jnp.min(packed, axis=1, keepdims=True)       # [B,1]
-                    better = pmin < bp
-                    bp = jnp.where(better, pmin, bp)
-                    bc = jnp.where(better, cand_id, bc)
-                    return bp, bc
+                else:
+                    bp = bp_ref[0, sl]
+                    bc = bc_ref[0, sl]
 
-                def run_slab(si):
-                    bp = bp_ref[0]
-                    bc = bc_ref[0]
+                    def fold_near(pos, kind, cand_id, bp, bc):
+                        t = chunk_t(pos, kind)
+                        tb = pltpu.bitcast(t, jnp.int32)
+                        packed = jax.lax.bitwise_or(
+                            jax.lax.bitwise_and(tb, -128), lanes)
+                        pmin = jnp.min(packed, axis=1, keepdims=True)  # [SUB,1]
+                        better = pmin < bp
+                        bp = jnp.where(better, pmin, bp)
+                        bc = jnp.where(better, cand_id, bc)
+                        return bp, bc
+
+                    ri = 0
                     for kind, off, cnt, swept in slab_ranges[si]:
                         if not swept:   # short run: static unrolled sweep
                             for k in range(cnt):
@@ -598,34 +623,20 @@ def _make_kernel(B, SC, Nslab, slab_ranges, eps, self_eps_local, dtype,
                                     jnp.int32(si * SC + off + k), bp, bc)
                             continue
 
-                        def cond(state, off=off, cnt=cnt):
-                            ci, bp, _ = state
-                            # Safe per-ray upper bound on the true best t: the
-                            # packed key rounds t's low 7 mantissa bits down,
-                            # so | 127 rounds up; clamp misses back to exactly
-                            # +inf (else NaN bits).  Shadow-mode lanes with
-                            # ANY hit stop bounding the sweep entirely.
-                            t_up = pltpu.bitcast(
-                                jnp.minimum(
-                                    jax.lax.bitwise_or(bp, 127), INF_BITS),
-                                jnp.float32)
-                            eff = jnp.where(
-                                shad1 & (bp < INF_BITS), neg_big,
-                                jnp.minimum(t_up, tmax1))
-                            ub = jnp.max(jnp.where(act1, eff, neg_big))
-                            tec = read_te(off + jnp.minimum(ci, cnt - 1))
-                            return ((ci < cnt) & has_act
-                                    & (tec <= ub) & (tec < INF))
+                        def cond(state, ri=ri):
+                            ci, _, _ = state
+                            return ci < cnt_ref[0, g, ri]
 
                         def body(state, si=si, off=off, cnt=cnt, kind=kind):
-                            # 2-wide unroll (see any_hit).  Sequential fold
-                            # with strict < keeps the earlier candidate
-                            # winning ties.
+                            # UN-wide unroll: chunks per iteration overlap
+                            # their row loads/compute; trailing positions
+                            # past the count are un-crossed chunks (misses
+                            # only) and the strict < fold keeps the
+                            # earlier candidate winning ties.
                             ci, bp, bc = state
-                            for k in range(2):
+                            for k in range(UN):
                                 idx = jnp.minimum(ci + k, cnt - 1)
                                 t = chunk_t(off + idx, kind)
-                                t = jnp.where(ci + k < cnt, t, INF)
                                 tb = pltpu.bitcast(t, jnp.int32)
                                 packed = jax.lax.bitwise_or(
                                     jax.lax.bitwise_and(tb, -128), lanes)
@@ -633,22 +644,24 @@ def _make_kernel(B, SC, Nslab, slab_ranges, eps, self_eps_local, dtype,
                                 better = pmin < bp
                                 bp = jnp.where(better, pmin, bp)
                                 bc = jnp.where(better, si * SC + off + idx, bc)
-                            return ci + 2, bp, bc
+                            return ci + UN, bp, bc
 
                         _, bp, bc = jax.lax.while_loop(
                             cond, body, (jnp.int32(0), bp, bc))
-                    bp_ref[0] = bp
-                    bc_ref[0] = bc
+                        ri += 1
+                    bp_ref[0, sl] = bp
+                    bc_ref[0, sl] = bc
 
-            if Nslab == 1:
-                pl.when(has_act)(lambda: run_slab(0))
-            else:
-                # Per-slab static range lists: each slab's sweep code runs
-                # under pl.when(s == si) — compile cost is the sum of
-                # range bodies, not a switch x unroll product.
-                for si in range(Nslab):
-                    pl.when((s == si) & has_act)(
-                        lambda si=si: run_slab(si))
+            # Per-(slab, sub-block) sweeps: each runs under its own
+            # pl.when — all-dead sub-blocks (late bounce rounds compact
+            # live rays to the queue front) skip at 32-ray granularity.
+            for si in range(Nslab):
+                gate = has_act if Nslab == 1 else ((s == si) & has_act)
+                for g in range(G):
+                    sl = slice(g * SUB, (g + 1) * SUB)
+                    g_gate = gate if G == 1 else (gate & jnp.any(act1[sl]))
+                    pl.when(g_gate)(
+                        lambda si=si, g=g, sl=sl: run_slab(si, g, sl))
 
         _alive()
 
@@ -709,42 +722,53 @@ def intersect_scene_pallas(
     else:
         shadb = _pad_to(shadow.astype(dtype), R, 0.0).reshape(NB, B)
 
-    # Per-ray slab test against every chunk AABB, reduced per block: the
-    # block's entry-t for a chunk is the min entry over rays that actually
-    # CROSS it — chunks crossed by no ray in the block get +inf, sort to
-    # the back of the candidate list and are never visited.  This replaces
-    # the round-2 block-interval bound (beam.py semantics), which kept a
-    # chunk whenever the block's [omin..omax]x[dmin..dmax] box could reach
-    # it: one distant/sky lane forced whole-scene sweeps.  The [NB,B,Nc]
-    # intermediate never materializes — XLA fuses the elementwise slab
-    # chain into the min-reduce (~15 flops x R x Nc, well under 1 ms for
-    # castle's 262k x 157).
+    # Per-ray slab test against every chunk AABB, reduced per SUB-BLOCK:
+    # a sub-block's entry-t for a chunk is the min entry over its SUB rays
+    # that actually CROSS it — chunks crossed by no ray of the sub-block
+    # get +inf, sort to the back of that sub-block's candidate list and
+    # are never visited.  (Round 3 reduced per 256-ray block; the block
+    # UNION made every ray sweep ~8-13k candidates where a per-ray oracle
+    # needs ~300-500 — sub-block lists are the granularity fix.)  The
+    # chunk axis is processed in static slices so peak memory is bounded
+    # at [NB, B, 64] per temp regardless of XLA fusion (round-3 advisor:
+    # interpret/CPU runs materialized ~160MB intermediates per launch).
+    SUB = cfg.pallas_subblock or B
+    if B % SUB:
+        SUB = B
+    G = B // SUB
+
     def _rcp(dc):
         tiny = jnp.where(dc < 0.0, -1e-30, 1e-30)
         return 1.0 / jnp.where(jnp.abs(dc) < 1e-30, tiny, dc)
 
     cmin, cmax = pk.chunk_min, pk.chunk_max             # [Nc,3]
-    ten = jnp.full((NB, B, pk.n_chunks), -INF, dtype)
-    tex = jnp.full((NB, B, pk.n_chunks), INF, dtype)
-    for axis in range(3):
-        oa = oT[axis].reshape(NB, B, 1)
-        ra = _rcp(dT[axis]).reshape(NB, B, 1)
-        t_a = (cmin[None, None, :, axis] - oa) * ra
-        t_b = (cmax[None, None, :, axis] - oa) * ra
-        ten = jnp.maximum(ten, jnp.minimum(t_a, t_b))
-        tex = jnp.minimum(tex, jnp.maximum(t_a, t_b))
-    cross = (
-        (ten <= tex)
-        & (tex >= tminb[:, :, None])
-        & (ten <= tmaxb[:, :, None])
-        & actb[:, :, None]
-    )
-    # Conservative slack for f32 slab rounding (chunk AABBs are already
-    # inflated at pack time, scene/flatten.inflate).
-    te_ray = jnp.maximum(ten - (1e-4 * jnp.abs(ten) + 1e-5), 0.0)
-    t_enter = jnp.min(
-        jnp.where(cross, te_ray, INF), axis=1
-    )  # [NB, Nc]
+    rT = [_rcp(dT[axis]).reshape(NB, B, 1) for axis in range(3)]
+    te_pieces = []
+    CSL = 64
+    for c0 in range(0, pk.n_chunks, CSL):
+        c1 = min(c0 + CSL, pk.n_chunks)
+        ns = c1 - c0
+        ten = jnp.full((NB, B, ns), -INF, dtype)
+        tex = jnp.full((NB, B, ns), INF, dtype)
+        for axis in range(3):
+            oa = oT[axis].reshape(NB, B, 1)
+            t_a = (cmin[None, None, c0:c1, axis] - oa) * rT[axis]
+            t_b = (cmax[None, None, c0:c1, axis] - oa) * rT[axis]
+            ten = jnp.maximum(ten, jnp.minimum(t_a, t_b))
+            tex = jnp.minimum(tex, jnp.maximum(t_a, t_b))
+        cross = (
+            (ten <= tex)
+            & (tex >= tminb[:, :, None])
+            & (ten <= tmaxb[:, :, None])
+            & actb[:, :, None]
+        )
+        # Conservative slack for f32 slab rounding (chunk AABBs are already
+        # inflated at pack time, scene/flatten.inflate).
+        te_ray = jnp.maximum(ten - (1e-4 * jnp.abs(ten) + 1e-5), 0.0)
+        te_pieces.append(jnp.min(
+            jnp.where(cross, te_ray, INF).reshape(NB, G, SUB, ns), axis=2
+        ))
+    t_enter = jnp.concatenate(te_pieces, axis=2)  # [NB, G, Nc]
 
     Nc = pk.n_chunks
     SC = min(Nc, cfg.pallas_slab_chunks)
@@ -753,7 +777,8 @@ def intersect_scene_pallas(
     pf, pid = pk.f32, pk.ids
     if Ncp > Nc:
         extra = Ncp - Nc
-        t_enter = jnp.pad(t_enter, ((0, 0), (0, extra)), constant_values=INF)
+        t_enter = jnp.pad(t_enter, ((0, 0), (0, 0), (0, extra)),
+                          constant_values=INF)
         pf = jnp.pad(pf, ((0, 0), (0, extra * C)))
         pid = jnp.pad(pid, ((0, 0), (0, extra * C)), constant_values=-1)
 
@@ -786,38 +811,49 @@ def intersect_scene_pallas(
         slab_ranges.append(tuple(rs))
     slab_ranges = tuple(slab_ranges)
 
-    # Per-range front-to-back ordering: only `swept` ranges pay an argsort
-    # (short runs are evaluated unconditionally, in table order).
-    te3 = t_enter.reshape(NB, Nslab, SC)
-    te_rows, cand_rows = [], []
+    # Per-(sub-block, range) candidate compaction: only `swept` ranges
+    # pay the argsort (short runs are evaluated unconditionally, in table
+    # order).  Crossed chunks (finite te) sort to the FRONT of each
+    # group's list and their count goes to the kernel in SMEM — the
+    # kernel's while cond is then one scalar compare per UN chunks (the
+    # best-t exit it replaces cost a vector->scalar flush per iteration
+    # and, with the per-ray cull, saved <4% of evals on castle).  The
+    # front-to-back ordering is kept for tie-order continuity only.
+    te3 = t_enter.reshape(NB, G, Nslab, SC)
+    cand_rows, cnt_rows = [], []
     for si in range(Nslab):
-        pieces_te, pieces_cand, pos = [], [], 0
+        pieces_cand, pieces_cnt, pos = [], [], 0
         for kind, off, cnt, swept in slab_ranges[si]:
-            seg = te3[:, si, off:off + cnt]
+            seg = te3[:, :, si, off:off + cnt]          # [NB, G, cnt]
             if swept:
-                order = jnp.argsort(seg, axis=1).astype(jnp.int32)
-                pieces_te.append(jnp.take_along_axis(seg, order, axis=1))
+                order = jnp.argsort(seg, axis=2).astype(jnp.int32)
                 pieces_cand.append(off + order)
+                pieces_cnt.append(
+                    jnp.sum(jnp.isfinite(seg), axis=2).astype(jnp.int32))
             else:
-                pieces_te.append(seg)
                 pieces_cand.append(jnp.broadcast_to(
-                    jnp.arange(off, off + cnt, dtype=jnp.int32)[None],
-                    (NB, cnt)))
+                    jnp.arange(off, off + cnt, dtype=jnp.int32)[None, None],
+                    (NB, G, cnt)))
             pos += cnt
         if pos < SC:  # slab-alignment padding chunks: never visited
-            pieces_te.append(jnp.full((NB, SC - pos), INF, dtype))
-            pieces_cand.append(jnp.zeros((NB, SC - pos), jnp.int32))
-        te_rows.append(jnp.concatenate(pieces_te, axis=1))
-        cand_rows.append(jnp.concatenate(pieces_cand, axis=1))
-    te_s = jnp.stack(te_rows, axis=1)        # [NB, Nslab, SC]
-    cand = jnp.stack(cand_rows, axis=1)      # [NB, Nslab, SC] local chunk id
+            pieces_cand.append(jnp.zeros((NB, G, SC - pos), jnp.int32))
+        cand_rows.append(jnp.concatenate(pieces_cand, axis=2))
+        if pieces_cnt:
+            cnt_rows.append(jnp.stack(pieces_cnt, axis=2))  # [NB, G, n_swept]
+        else:
+            cnt_rows.append(jnp.zeros((NB, G, 1), jnp.int32))
+    RMAX = max(r.shape[2] for r in cnt_rows)
+    cnt_rows = [jnp.pad(r, ((0, 0), (0, 0), (0, RMAX - r.shape[2])))
+                for r in cnt_rows]
+    cand = jnp.stack(cand_rows, axis=1)      # [NB, Nslab, G, SC] local chunk
+    cnts = jnp.stack(cnt_rows, axis=1)       # [NB, Nslab, G, RMAX]
 
     SCp = SC
-    # 3-D with a unit middle axis: Mosaic requires a block's last two dims
-    # to be (8,128)-divisible or equal to the array's — (1, SCp) blocks of a
-    # [NB*Nslab, SCp] array violate that; [.., 1, SCp] blocks satisfy it.
-    te_smem = te_s.reshape(NB * Nslab, 1, SCp)
-    cand_smem = cand.reshape(NB * Nslab, 1, SCp)
+    # 3-D with a G middle axis: Mosaic requires a block's last two dims
+    # to be (8,128)-divisible or equal to the array's — (1, SCp) blocks of
+    # a [NB*Nslab, SCp] array violate that; [.., G, SCp] blocks satisfy it.
+    cnt_smem = cnts.reshape(NB * Nslab, G, RMAX)
+    cand_smem = cand.reshape(NB * Nslab, G, SCp)
     # Feature-major pack: [NB, 16, B] (11 live rows + pad to a full
     # sublane pair) — lane dim B stays aligned, so this is a cheap
     # contiguous write instead of a 128-lane-padded interleave.
@@ -835,15 +871,16 @@ def intersect_scene_pallas(
         axis=1,
     )                                                   # [NB, 16, B]
 
-    kernel = _make_kernel(B, SC, Nslab, slab_ranges, cfg.epsilon,
+    unroll = cfg.pallas_unroll or 1
+    kernel = _make_kernel(B, SUB, SC, Nslab, slab_ranges, cfg.epsilon,
                           cfg.self_eps_local, dtype, use_src,
-                          any_hit=any_hit)
+                          any_hit=any_hit, unroll=unroll)
 
     rays_spec = pl.BlockSpec((1, 16, B), lambda b, s: (b, 0, 0),
                              memory_space=pltpu.VMEM)
-    te_spec = pl.BlockSpec((1, 1, SCp), lambda b, s: (b * Nslab + s, 0, 0),
-                           memory_space=pltpu.SMEM)
-    cand_spec = pl.BlockSpec((1, 1, SCp), lambda b, s: (b * Nslab + s, 0, 0),
+    cnt_spec = pl.BlockSpec((1, G, RMAX), lambda b, s: (b * Nslab + s, 0, 0),
+                            memory_space=pltpu.SMEM)
+    cand_spec = pl.BlockSpec((1, G, SCp), lambda b, s: (b * Nslab + s, 0, 0),
                              memory_space=pltpu.SMEM)
     pf_spec = pl.BlockSpec((21, SC * C), lambda b, s: (0, s),
                            memory_space=pltpu.VMEM)
@@ -871,11 +908,11 @@ def intersect_scene_pallas(
     outs = pl.pallas_call(
         kernel,
         grid=(NB, Nslab),
-        in_specs=[te_spec, cand_spec, rays_spec, pf_spec, pid_spec],
+        in_specs=[cnt_spec, cand_spec, rays_spec, pf_spec, pid_spec],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(te_smem, cand_smem, rays_packed, pf, pid)
+    )(cnt_smem, cand_smem, rays_packed, pf, pid)
 
     if any_hit:
         fnd = outs[0].reshape(R)[:R0]
@@ -888,13 +925,19 @@ def intersect_scene_pallas(
     hit = (bp < INF_BITS) & active
 
     # Decode (sorted-candidate position, lane) -> packed column -> ids
-    # (flat 1-D gathers — never materialize [R, candidates]).
-    cand_flat = cand.reshape(NB * Nslab * SCp)
-    block = jnp.arange(R0, dtype=jnp.int32) // B
+    # (flat 1-D gathers — never materialize [R, candidates]).  The sorted
+    # position is per (block, slab, sub-block): ray r's list is the one
+    # for its sub-block g = (r % B) // SUB.
+    cand_flat = cand.reshape(NB * Nslab * G * SCp)
+    ridx = jnp.arange(R0, dtype=jnp.int32)
+    block = ridx // B
+    g_ix = (ridx % B) // SUB
     bc_c = jnp.maximum(bc, 0)
-    sel = cand_flat[block * (Nslab * SCp) + bc_c]   # chunk id within slab
+    slab_ix = bc_c // SCp                           # bc = si*SC + pos, SC==SCp
+    sel = cand_flat[((block * Nslab + slab_ix) * G + g_ix) * SCp
+                    + (bc_c % SCp)]                 # chunk id within slab
     lane = jax.lax.bitwise_and(bp, 127)
-    colid = ((bc_c // SCp) * SC + sel) * C + lane
+    colid = (slab_ix * SC + sel) * C + lane
     colid = jnp.clip(colid, 0, pid.shape[1] - 1)
     node = jnp.where(hit, pid[0, colid], -1)
     tri = jnp.where(hit, pid[1, colid], -1)

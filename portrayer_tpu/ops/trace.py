@@ -322,26 +322,52 @@ def trace(
         )
 
     def round_r(q, acc, ridx, next_cap):
-        """One bounce round guarded by a live-queue check: nearest launch,
-        shade, any-hit shadow launch, compact children to `next_cap`."""
+        """One bounce round: nearest launch, shade, any-hit shadow launch,
+        compact children to `next_cap`.
+
+        ADAPTIVE CAPACITY: queue capacities are safe upper bounds (stale
+        hints overflow loudly via TraceStats.dropped_w), but the live
+        count varies hugely with the view — a center crop keeps <7% of
+        castle rays alive after round 1 while the full frame keeps ~50%
+        (the water).  Live lanes are compacted to the queue FRONT, so
+        when n_live fits in capacity//4 (or //16) the round runs a
+        statically smaller variant on just that head slice — sweep,
+        shade and compaction costs then track the actual live count, not
+        the worst-case capacity.  lax.switch picks the variant at run
+        time; every branch emits the same next_cap-shaped queue."""
+        C = q.w.shape[0]
         n_live = jnp.sum(q.w > 0.0).astype(jnp.int32)
 
-        def live(args):
-            q, acc = args
+        def _run(q_s, acc):
             rkey = jax.random.fold_in(key, ridx)
-            hit = _nearest(q, st, cfg)
+            hit = _nearest(q_s, st, cfg)
             acc2, child, sh = _round_shade(
-                q, hit, acc, bg, st, cfg, rkey,
+                q_s, hit, acc, bg, st, cfg, rkey,
                 is_last=(ridx == max_depth),
             )
             acc2 = _apply_shadows(sh, acc2, st, cfg, 0)
             return _compact(child, next_cap, acc2, bg)
 
+        def at_size(k):
+            def run(args):
+                q, acc = args
+                q_s = _Queue(*(x[:k] for x in q))
+                return _run(q_s, acc)
+            return run
+
         def dead(args):
             q, acc = args
             return _zero_queue(next_cap), acc, jnp.asarray(0.0, acc.dtype)
 
-        q, acc, dropped = jax.lax.cond(n_live > 0, live, dead, (q, acc))
+        sizes = []
+        for div in (16, 4, 1):
+            k = min(C, -(-C // div // 2048) * 2048)
+            if k not in sizes:
+                sizes.append(k)
+        branches = [dead] + [at_size(k) for k in sizes]
+        ix = jnp.searchsorted(jnp.asarray(sizes, jnp.int32), n_live)
+        sel = jnp.where(n_live > 0, 1 + ix, 0)
+        q, acc, dropped = jax.lax.switch(sel, branches, (q, acc))
         return q, acc, n_live, dropped
 
     # Head rounds with changing capacities run as specialized Python

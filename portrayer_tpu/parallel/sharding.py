@@ -46,12 +46,18 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = RAY_AXIS) -> Mes
 
 def trace_sharded(
     mesh: Mesh, key, o, d, pix, bg, n_pixels: int,
-    st: SceneTables, cfg: RenderConfig, w0=None,
+    st: SceneTables, cfg: RenderConfig, w0=None, reduce: bool = True,
 ):
     """Trace rays [R,3] sharded over the mesh's ray axis.
 
     R must be divisible by the mesh size.  Returns the replicated
-    framebuffer accumulation [n_pixels, 3] (sum over all rays)."""
+    framebuffer accumulation [n_pixels, 3] (sum over all rays).
+
+    reduce=False skips the cross-device psum and returns the PER-SHARD
+    partial framebuffers [n_devices, n_pixels, 3] instead — the identical
+    compute graph minus the collective, which is how the bench isolates
+    communication/replication overhead from trace time (the scaling-
+    efficiency proxy on a virtual mesh)."""
     axis = mesh.axis_names[0]
     st_specs = jax.tree_util.tree_map(lambda _: P(), st)
     if w0 is None:
@@ -61,12 +67,14 @@ def trace_sharded(
         # Decorrelate per-shard sampling.
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         acc = trace(key, o, d, pix, bg, n_pixels, st, cfg, w0=w0)
-        return jax.lax.psum(acc, axis)
+        if reduce:
+            return jax.lax.psum(acc, axis)
+        return acc[None]
 
     kwargs = dict(
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(), P(axis), st_specs),
-        out_specs=P(),
+        out_specs=P() if reduce else P(axis),
     )
     # Disable the replication/varying-axis checker: the wavefront loop's
     # scan carries start replicated and become per-shard varying, which the
@@ -78,26 +86,26 @@ def trace_sharded(
     return sharded(key, o, d, pix, bg, w0, st)
 
 
-def split_params(st: SceneTables) -> Tuple[dict, SceneTables]:
+def split_params(st: SceneTables, fields=DIFF_FIELDS) -> Tuple[dict, SceneTables]:
     """Split the differentiable arrays out of the scene tables."""
-    params = {f: getattr(st, f) for f in DIFF_FIELDS}
+    params = {f: getattr(st, f) for f in fields}
     return params, st
 
 
 def train_step(
     mesh: Mesh, key, o, d, pix, bg, n_pixels: int, spp: int, target,
-    st: SceneTables, cfg: RenderConfig,
+    st: SceneTables, cfg: RenderConfig, fields=DIFF_FIELDS,
 ):
     """One differentiable render-and-fit step over the device mesh.
 
     loss = MSE(mean-radiance image, target); returns (loss, grads) where
-    grads covers DIFF_FIELDS.  Gradients flow through the full wavefront
-    bounce loop; the psum in trace_sharded transposes into the gradient
-    all-reduce."""
+    grads covers `fields` (default DIFF_FIELDS).  Gradients flow through
+    the full wavefront bounce loop; the psum in trace_sharded transposes
+    into the gradient all-reduce."""
     # Every accel mode is differentiable: the sweeps are stop_gradient-ed
     # selection oracles and hit_detail reattaches a differentiable t
     # (see ops/intersect.py), so training runs at accelerated-sweep speed.
-    params, _ = split_params(st)
+    params, _ = split_params(st, fields)
 
     def loss_fn(params):
         st2 = st.replace(**params)

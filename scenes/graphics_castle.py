@@ -252,8 +252,16 @@ def build() -> SceneSpec:
     )
     return SceneSpec(scene=scene, camera=cam, size=(1920, 1080),
                      background=robot_background, name="graphics-castle",
-                     # Measured live-ray decay (512x512 center crop, TPU):
-                     # 6.5% after round 1, <2% after rounds 2+ — see
-                     # tools/profile_round.py.  ~2x headroom per round;
-                     # overflow keeps the highest-throughput children.
-                     queue_caps=(0.125, 0.03125))
+                     # Measured FULL-FRAME live-ray fractions (240x135,
+                     # uncapped): 0.58, 0.46, 0.29, then 0.16-0.30 through
+                     # round 10 — the water/glass keeps reflecting.  (The
+                     # round-3 hint (0.125, 0.03125) was measured on a
+                     # 512x512 center crop that misses the water and
+                     # silently dropped ~20% of full-frame throughput —
+                     # round-3 advisor finding.)  ~1.7-2x headroom per
+                     # round; few distinct values so the trace's adaptive
+                     # capacity slicing shares compiled round bodies, and
+                     # sparse views (crops) downshift at run time.
+                     # tests/test_render.py::test_castle_queue_caps_full_frame
+                     # asserts the overflow fraction stays ~0.
+                     queue_caps=(1.0, 0.8, 0.6))

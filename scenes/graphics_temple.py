@@ -175,4 +175,12 @@ def build() -> SceneSpec:
         up=(0.0, 1.0, 0.0), fovy=deg(25.0),
     )
     return SceneSpec(scene=scene, camera=cam, size=(533, 300),
-                     background=robot_background, name="graphics-temple")
+                     background=robot_background, name="graphics-temple",
+                     # Measured full-frame live fractions (96x54,
+                     # uncapped): 0.67, 0.35, 0.11, 0.10, 0.066, 0.056,
+                     # 0.051, 0.030, 0.016, 0.015.  ~2x headroom; few
+                     # distinct values so adaptive capacity slicing
+                     # shares compiled round bodies.  (Without a hint the
+                     # refractive auto-default sweeps flat 4x queues —
+                     # the self-golden render took 880s of CPU.)
+                     queue_caps=(1.0, 0.75, 0.25))

@@ -45,14 +45,15 @@ MAX_W = 256
 # Per-scene width caps for the scenes whose render cost dominates the set.
 WIDTH_CAPS = {
     "graphics-castle": 160,
-    "graphics-temple": 160,
-    "graphics-poster": 160,
+    "graphics-temple": 120,   # 27.8k tri pairs + refractive queues: the
+    "graphics-poster": 160,   # slowest scene of the set on a CPU sweep
     "big-scene": 160,
     "monkeys-making-monkeys": 160,
     "torus-showcase": 160,
     "macho-cows": 192,
     "simple-cows": 192,
 }
+SAMPLES_OVERRIDE = {"graphics-temple": 2}
 
 
 def render_one(name):
@@ -62,7 +63,8 @@ def render_one(name):
     spec = scenes.load(name)
     w = min(max(32, int(spec.size[0] * SCALE)), WIDTH_CAPS.get(name, MAX_W))
     h = max(32, int(spec.size[1] * w / spec.size[0]))
-    cfg = RenderConfig(samples=SAMPLES, tile=(64, 64), accel="beam",
+    cfg = RenderConfig(samples=SAMPLES_OVERRIDE.get(name, SAMPLES),
+                       tile=(64, 64), accel="beam",
                        seed=0, queue_caps=spec.queue_caps)
     return render_u8(spec.scene, spec.camera, (w, h), spec.background, cfg)
 
