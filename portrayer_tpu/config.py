@@ -174,6 +174,21 @@ class RenderConfig:
     # 1 vs 37.8 at 8 on the castle sweep.  0 = auto (1).
     pallas_unroll: int = 0
 
+    # Adaptive bounce-round capacity variants: each round lax.switches
+    # into the smallest queue head-slice (capacity//div, block-aligned)
+    # that holds the live count (live lanes are compacted to the front).
+    # (1,) disables the downshift (every round at full capacity).
+    queue_slice_divs: Tuple[int, ...] = (16, 4, 1)
+
+    # Bounce rounds at or above this lane count run under jax.checkpoint
+    # (backward replays shading instead of keeping the lane-padded
+    # shading temps as residuals — at 262k lanes those blow past HBM).
+    # 0 (default) = every round.  Exempting small rounds was tried and
+    # went 10GB past HBM: un-remat'd texture gathers inside the tail
+    # scan make XLA stack the u8 atlas per iteration at 42.7x padding
+    # (u8[13.6M,3] x 8 iters = 13GB on castle).
+    remat_min_lanes: int = 0
+
     # Beam-sweep parameters: rays per warp, number of front-to-back t
     # segments, candidate chunk size, and the minimum primitive count below
     # which the brute-force sweep is used instead.

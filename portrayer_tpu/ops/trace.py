@@ -13,15 +13,34 @@ at depth > 10, material.rs:102-104).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..config import RenderConfig
 from ..scene.flatten import SceneTables
 from .intersect import intersect_scene, hit_detail, Hit
 from .shade import shade_pre
+
+# Each bounce round runs under jax.checkpoint saving ONLY the sweep
+# oracles (nearest-hit ids + occlusion verdicts): the backward pass then
+# replays shading/accumulation from (queue, hit) WITHOUT re-dispatching
+# any accelerated sweep, and none of the shading intermediates (det.nmt
+# [R,3,3], per-light [L,R,3] contribs, ...) survive as residuals.  Those
+# residuals are what blew fwd+bwd past HBM at honest queue capacities:
+# XLA stores [R,3]-shaped temps lane-padded (T(8,128) -> 42.7x the data)
+# so one round's shading state is ~GBs at 262k rays.
+_REMAT_POLICY = jax.checkpoint_policies.save_only_these_names(
+    "sweep_oracle")
+
+
+def _oracle(x):
+    """Mark a sweep output as a saved residual (see _REMAT_POLICY)."""
+    return jax.tree.map(
+        lambda a: checkpoint_name(a, "sweep_oracle"), x)
 
 
 class _Queue(NamedTuple):
@@ -56,10 +75,10 @@ class TraceStats(NamedTuple):
 
 
 class _Shadow(NamedTuple):
-    """Deferred per-round shadow batch: the occlusion verdicts arrive from
-    a sweep fused with the NEXT round's nearest query (one accelerated
-    launch per round — the per-launch fixed cost dominates small
-    late-round queues)."""
+    """Deferred per-round shadow batch (deferred lighting): shading is
+    split into an occlusion-independent part and per-light contributions
+    that wait for one batched any-hit launch over every light's rays
+    (_apply_shadows) — L lights cost one sweep, not L."""
     o: jnp.ndarray         # [R,3] hit points
     dirs: jnp.ndarray      # [L,R,3]
     need: jnp.ndarray      # [L,R] lanes whose light contribution != 0
@@ -154,10 +173,10 @@ def _round_shade(
 def _nearest(q: _Queue, st, cfg):
     """Nearest-hit launch for a queue (exact_t=False: hit_detail's
     reattach recomputes the exact differentiable t)."""
-    return intersect_scene(
+    return _oracle(intersect_scene(
         q.o, q.d, q.t_min, jnp.inf, st, cfg, active=q.w > 0.0,
         src_node=q.src_node, src_tri=q.src_tri, exact_t=False,
-    )
+    ))
 
 
 def _apply_shadows(shadow: _Shadow, acc, st, cfg, spp_c: int):
@@ -175,7 +194,7 @@ def _apply_shadows(shadow: _Shadow, acc, st, cfg, spp_c: int):
     if L == 0:
         return acc
     tile = lambda x: jnp.tile(x, (L,) + (1,) * (x.ndim - 1))
-    occ = occluded(
+    occ = _oracle(occluded(
         tile(shadow.o) if L > 1 else shadow.o,
         shadow.dirs.reshape(L * R, 3) if L > 1 else shadow.dirs[0],
         tile(shadow.t_eps) if L > 1 else shadow.t_eps,
@@ -183,7 +202,7 @@ def _apply_shadows(shadow: _Shadow, acc, st, cfg, spp_c: int):
         active=shadow.need.reshape(L * R) if L > 1 else shadow.need[0],
         src_node=tile(shadow.src_node) if L > 1 else shadow.src_node,
         src_tri=tile(shadow.src_tri) if L > 1 else shadow.src_tri,
-    ).reshape(L, R)
+    ).reshape(L, R))
     light = jnp.sum(jnp.where(occ[..., None], 0.0, shadow.lc), axis=0)
     return _acc_add(acc, shadow.pix, light, spp_c)
 
@@ -294,21 +313,40 @@ def trace(
     caps = tuple(caps) + (caps[-1],) * max(0, max_depth - len(caps))
     cap_of = lambda r: max(int(round(R0 * caps[r - 1])), 8)
 
-    # Round 0 (primary rays).
+    # Round 0 (primary rays), remat'd with sweep oracles saved (see
+    # _REMAT_POLICY): backward replays shading from (queue, hit ids)
+    # without re-dispatching sweeps or keeping shading temps as
+    # residuals.
     n_live0 = jnp.sum(q.w > 0.0).astype(jnp.int32)
-    hit = _nearest(q, st, cfg)
-    acc, child, sh = _round_shade(
-        q, hit, acc, bg, st, cfg, jax.random.fold_in(key, 0),
-        is_last=(max_depth == 0), spp_c=spp_contiguous,
-    )
-    acc = _apply_shadows(sh, acc, st, cfg, spp_contiguous)
+    rkey0 = jax.random.fold_in(key, 0)
+
     if max_depth == 0:
+        @partial(jax.checkpoint, policy=_REMAT_POLICY)
+        def _round0_only(q, acc):
+            hit = _nearest(q, st, cfg)
+            acc, child, sh = _round_shade(
+                q, hit, acc, bg, st, cfg, rkey0,
+                is_last=True, spp_c=spp_contiguous,
+            )
+            return _apply_shadows(sh, acc, st, cfg, spp_contiguous)
+
+        acc = _round0_only(q, acc)
         if with_stats:
             return acc, TraceStats(
                 live=n_live0[None], dropped_w=jnp.asarray(0.0, dtype))
         return acc
 
-    q, acc, dropped = _compact(child, cap_of(1), acc, bg)
+    @partial(jax.checkpoint, policy=_REMAT_POLICY)
+    def _round0(q, acc):
+        hit = _nearest(q, st, cfg)
+        acc, child, sh = _round_shade(
+            q, hit, acc, bg, st, cfg, rkey0,
+            is_last=False, spp_c=spp_contiguous,
+        )
+        acc = _apply_shadows(sh, acc, st, cfg, spp_contiguous)
+        return _compact(child, cap_of(1), acc, bg)
+
+    q, acc, dropped = _round0(q, acc)
     stats = [n_live0[None]]
 
     def _zero_queue(cap):
@@ -348,11 +386,19 @@ def trace(
             acc2 = _apply_shadows(sh, acc2, st, cfg, 0)
             return _compact(child, next_cap, acc2, bg)
 
+        # Remat only rounds big enough for their shading residuals to
+        # matter (the lane-padded [k,3]/[k,3,3] temps): small sliced
+        # rounds save everything — replaying them costs more backward
+        # time than their residuals cost memory.
+        _run_ckpt = partial(jax.checkpoint, policy=_REMAT_POLICY)(_run)
+
         def at_size(k):
+            run_fn = _run_ckpt if k >= cfg.remat_min_lanes else _run
+
             def run(args):
                 q, acc = args
                 q_s = _Queue(*(x[:k] for x in q))
-                return _run(q_s, acc)
+                return run_fn(q_s, acc)
             return run
 
         def dead(args):
@@ -360,10 +406,13 @@ def trace(
             return _zero_queue(next_cap), acc, jnp.asarray(0.0, acc.dtype)
 
         sizes = []
-        for div in (16, 4, 1):
+        # div 1 (full capacity) is always present: it is the correctness
+        # fallback when the live count exceeds every smaller slice.
+        for div in tuple(cfg.queue_slice_divs) + (1,):
             k = min(C, -(-C // div // 2048) * 2048)
             if k not in sizes:
                 sizes.append(k)
+        sizes.sort()
         branches = [dead] + [at_size(k) for k in sizes]
         ix = jnp.searchsorted(jnp.asarray(sizes, jnp.int32), n_live)
         sel = jnp.where(n_live > 0, 1 + ix, 0)

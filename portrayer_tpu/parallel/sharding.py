@@ -83,7 +83,9 @@ def trace_sharded(
         sharded = shard_map(fwd, check_vma=False, **kwargs)
     except TypeError:
         sharded = shard_map(fwd, check_rep=False, **kwargs)
-    return sharded(key, o, d, pix, bg, w0, st)
+    # jit: the bounce rounds run under jax.checkpoint, which shard_map
+    # cannot evaluate eagerly (nested jit is free when already tracing).
+    return jax.jit(sharded)(key, o, d, pix, bg, w0, st)
 
 
 def split_params(st: SceneTables, fields=DIFF_FIELDS) -> Tuple[dict, SceneTables]:

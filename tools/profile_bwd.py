@@ -30,13 +30,15 @@ def stream(f, args_fn, n=8):
 
 
 def main():
+    depth = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     spec = scenes.load("graphics-castle")
     w, h = spec.size
-    cfg = RenderConfig(samples=1, accel="pallas",
+    cfg = RenderConfig(samples=1, accel="pallas", max_depth=depth,
                        queue_caps=spec.queue_caps)
     st = flatten_scene(spec.scene, dtype=jnp.float32)
     cam = Camera(spec.camera, (w, h), dtype=jnp.float32)
-    side = 512
+    side = 256
     x0, y0 = (w - side) // 2, (h - side) // 2
     ys, xs = np.mgrid[y0:y0 + side, x0:x0 + side]
     t16 = lambda a: (a.reshape(side // 16, 16, side // 16, 16)
@@ -57,6 +59,8 @@ def main():
     print(f"fwd only          : {dt_f*1e3:8.2f} ms", flush=True)
 
     cases = [("ALL", DIFF_FIELDS)] + [(f, (f,)) for f in DIFF_FIELDS]
+    if only:
+        cases = [(n, f) for n, f in cases if n in only]
     for name, fields in cases:
         fn = jax.jit(lambda k, o, d, fields=fields: train_step(
             mesh, k, o, d, pix, bg, R, 1, target, st, cfg, fields=fields))
