@@ -94,7 +94,13 @@ def bench_castle(fwd_bwd: bool, res=256, spp=1, order="tile16"):
     a 256-ray block then spans >1 full scanline of incoherent rays.  This
     is the honest bound for bounce/shadow-ray work (round-2 measured a
     ~7x coherent-vs-strided collapse; the ratio is reported so it cannot
-    hide)."""
+    hide).
+    order="frame": the SAME full-frame coverage as "strided" (a uniform
+    subsample of every pixel, water included) but ordered in coherent
+    16x16 tiles of the subsampled grid — the apples-to-apples coherent
+    baseline for the strided row (the center crop sees different
+    geometry: it misses the water, so crop-vs-strided conflates ray
+    ORDER with scene content)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -118,6 +124,17 @@ def bench_castle(fwd_bwd: bool, res=256, spp=1, order="tile16"):
         P_ = flat.shape[0]
         px_pix = xs.reshape(-1)
         py_pix = ys.reshape(-1)
+    elif order == "frame":
+        # Uniform full-frame subsample on a tile16-ordered grid.
+        gw = (int(np.sqrt(res * res * w / h)) // 16) * 16
+        gh = (int(res * res / max(gw, 1)) // 16) * 16
+        sx, sy = w / gw, h / gh
+        ys, xs = np.mgrid[0:gh, 0:gw]
+        tile16 = lambda a: (a.reshape(gh // 16, 16, gw // 16, 16)
+                            .transpose(0, 2, 1, 3).reshape(-1))
+        px_pix = (tile16(xs) * sx).astype(np.int64)
+        py_pix = (tile16(ys) * sy).astype(np.int64)
+        P_ = gw * gh
     else:
         x0, y0 = (w - res) // 2, (h - res) // 2
         ys, xs = np.mgrid[y0:y0 + res, x0:x0 + res]
@@ -322,6 +339,7 @@ def main():
     big = bench_big_scene()
     castle_fwd = bench_castle(fwd_bwd=False)
     castle_fwd_strided = bench_castle(fwd_bwd=False, order="strided")
+    castle_fwd_frame = bench_castle(fwd_bwd=False, order="frame")
     castle_fb = bench_castle(fwd_bwd=True)
     try:
         if not on_tpu or len(jax.devices()) > 1:
@@ -344,9 +362,13 @@ def main():
             # Whole-frame raster-strided rays: the incoherent bound that
             # bounce/shadow work actually sees (round-3 verdict Weak #1 —
             # the headline crop layout flatters block-granular culling).
+            # The ratio compares against the SAME full-frame coverage in
+            # coherent tile order ("frame"), so it isolates ray ORDER
+            # from scene content (the crop misses the water).
             "castle_fwd_strided_mrays": round(castle_fwd_strided, 3),
+            "castle_fwd_frame_mrays": round(castle_fwd_frame, 3),
             "coherent_vs_strided_ratio": round(
-                castle_fwd / max(castle_fwd_strided, 1e-9), 2),
+                castle_fwd_frame / max(castle_fwd_strided, 1e-9), 2),
             "fwd_bwd_over_fwd": round(castle_fwd / max(castle_fb, 1e-9), 2),
             "big_scene_primary_mrays": round(big, 3),
             "big_scene_vs_ref_cpu": round(big / BASELINE_MRAYS, 2),

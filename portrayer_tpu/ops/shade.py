@@ -49,20 +49,15 @@ def sample_atlas(data, meta, tex_ix, uv, srgb: bool = True):
     u8 texels decode arithmetically (c/255 then c^2.2 for sRGB,
     texture.rs:162-168) — a pow is cheaper on the VPU than a second
     [R,3]-indexed LUT gather, and the atlas stays at 1/12th the HBM of
-    prebaked f32 texels.  `data` is FLAT rgb-interleaved [P*3] (see
-    flatten.SceneTables.tex_data): three 1-D gathers instead of one
-    [R,3] gather, whose minor-dim-3 result/operand layouts tile at 42.7x
-    the data on TPU."""
+    prebaked f32 texels."""
     m = meta[jnp.maximum(tex_ix, 0)]          # [R,3] (offset, w, h)
     off, w, h = m[..., 0], m[..., 1], m[..., 2]
     x = jnp.trunc(uv[..., 0] * (w - 1).astype(uv.dtype)).astype(jnp.int32)
     y = jnp.trunc(uv[..., 1] * (h - 1).astype(uv.dtype)).astype(jnp.int32)
     x = jnp.mod(x, jnp.maximum(w, 1))
     y = jnp.mod(y, jnp.maximum(h, 1))
-    base = (off + y * w + x) * 3
-    texel = jnp.stack(
-        [data[base], data[base + 1], data[base + 2]], axis=-1
-    ).astype(uv.dtype) * (1.0 / 255.0)                   # [R,3] in 0..1
+    idx = off + y * w + x
+    texel = data[idx].astype(uv.dtype) * (1.0 / 255.0)   # [R,3] in 0..1
     if srgb:
         texel = texel ** 2.2
     return texel

@@ -83,8 +83,13 @@ def trace_sharded(
         sharded = shard_map(fwd, check_vma=False, **kwargs)
     except TypeError:
         sharded = shard_map(fwd, check_rep=False, **kwargs)
-    # jit: the bounce rounds run under jax.checkpoint, which shard_map
-    # cannot evaluate eagerly (nested jit is free when already tracing).
+    # Eager calls need a jit wrapper: the bounce rounds run under
+    # jax.checkpoint, which shard_map cannot evaluate eagerly.  When
+    # already inside a trace the wrapper must be SKIPPED — the nested
+    # jit becomes a closed_call boundary in the AD while-loops and cost
+    # ~3x on castle fwd+bwd (measured 70 -> 195 ms).
+    if isinstance(key, jax.core.Tracer):
+        return sharded(key, o, d, pix, bg, w0, st)
     return jax.jit(sharded)(key, o, d, pix, bg, w0, st)
 
 

@@ -350,14 +350,9 @@ class SceneTables:
     light_is_area: jnp.ndarray # [L] bool
     ambient: jnp.ndarray       # [3]
     # --- texture atlases ---
-    tex_data: jnp.ndarray      # [Ptex*3] uint8 sRGB texels, FLAT rgb-
-    #                            interleaved: a [P,3] minor-dim-3 layout
-    #                            tiles to (8,128) at 42.7x the data on
-    #                            TPU, and any AD path that stacks it as a
-    #                            scan residual multiplies that again
-    #                            (13 GB on castle, round-4 OOM)
+    tex_data: jnp.ndarray      # [Ptex,3] uint8 sRGB texels (LUT-decoded)
     tex_meta: jnp.ndarray      # [K,3] int32 (offset, width, height)
-    nm_data: jnp.ndarray       # [Pnm*3] uint8 normal-map texels (flat)
+    nm_data: jnp.ndarray       # [Pnm,3] uint8 normal-map texels
     nm_meta: jnp.ndarray       # [Knm,3] int32
     # --- packed prim table for the Pallas sweep kernel ---
     packed: "PackedPrims"
@@ -714,14 +709,14 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
     # ops/shade.py — bit-identical to prebaking).
     def build_atlas(images: List):
         if not images:
-            return np.zeros((3,), dtype=np.uint8), \
+            return np.zeros((1, 3), dtype=np.uint8), \
                 np.zeros((1, 3), dtype=np.int32)
         metas, chunks, off = [], [], 0
         for img in images:
             data = img.raw
             h, w = data.shape[:2]
             metas.append((off, w, h))
-            chunks.append(data.reshape(-1))
+            chunks.append(data.reshape(-1, 3))
             off += h * w
         return np.concatenate(chunks, axis=0), np.asarray(metas, dtype=np.int32)
 

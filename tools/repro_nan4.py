@@ -77,7 +77,7 @@ img_texel = sh.sample_atlas(st.tex_data, st.tex_meta, mat_tex, uv)
 print("img_texel:", P(img_texel)[0])
 
 # meta of the atlas rows involved
-print("nm_meta:", P(st.nm_meta), " nm_data texels:", st.nm_data.shape[0] // 3)
+print("nm_meta:", P(st.nm_meta), " nm_data len:", st.nm_data.shape)
 m = P(st.nm_meta)[np.maximum(P(mat_nm), 0)]
 off, w, h = m[:, 0], m[:, 1], m[:, 2]
 x = np.trunc(P(uv)[:, 0] * (w - 1)).astype(np.int64)
@@ -86,4 +86,4 @@ print("raw x idx:", x, "raw y:", y, " w:", w, "h:", h)
 xm = np.mod(x, np.maximum(w, 1))
 ym = np.mod(y, np.maximum(h, 1))
 idx = off + ym * w + xm
-print("final idx:", idx, "max valid:", st.nm_data.shape[0] // 3 - 1)
+print("final idx:", idx, "max valid:", st.nm_data.shape[0] - 1)
