@@ -321,7 +321,7 @@ def trace(
     rkey0 = jax.random.fold_in(key, 0)
 
     if max_depth == 0:
-        @partial(jax.checkpoint, policy=_REMAT_POLICY)
+        @partial(jax.checkpoint, policy=_REMAT_POLICY, prevent_cse=False)
         def _round0_only(q, acc):
             hit = _nearest(q, st, cfg)
             acc, child, sh = _round_shade(
@@ -336,7 +336,7 @@ def trace(
                 live=n_live0[None], dropped_w=jnp.asarray(0.0, dtype))
         return acc
 
-    @partial(jax.checkpoint, policy=_REMAT_POLICY)
+    @partial(jax.checkpoint, policy=_REMAT_POLICY, prevent_cse=False)
     def _round0(q, acc):
         hit = _nearest(q, st, cfg)
         acc, child, sh = _round_shade(
@@ -390,7 +390,7 @@ def trace(
         # matter (the lane-padded [k,3]/[k,3,3] temps): small sliced
         # rounds save everything — replaying them costs more backward
         # time than their residuals cost memory.
-        _run_ckpt = partial(jax.checkpoint, policy=_REMAT_POLICY)(_run)
+        _run_ckpt = partial(jax.checkpoint, policy=_REMAT_POLICY, prevent_cse=False)(_run)
 
         def at_size(k):
             run_fn = _run_ckpt if k >= cfg.remat_min_lanes else _run
