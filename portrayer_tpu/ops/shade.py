@@ -35,11 +35,17 @@ class Children(NamedTuple):
     refr_mult: jnp.ndarray  # [R]
 
 
-def _uniform(key, site: int, shape, dtype):
-    # Drawn in f32 regardless of cfg.dtype: the f64 verification mode then
-    # samples the same glossy/area-light points as f32 (see render.py).
-    return jax.random.uniform(
-        jax.random.fold_in(key, site), shape, jnp.float32).astype(dtype)
+def _uniform(key, site: int, sid, n: int, dtype):
+    """[R, n] uniforms keyed per (site, SAMPLE id): counter-based draws
+    whose value per lane is independent of the batch shape, so the
+    trace loop's adaptive queue slicing (processing the first k lanes of
+    a compacted queue) and any capacity knob cannot shift pixels.  Drawn
+    in f32 regardless of cfg.dtype: the f64 verification mode then
+    samples the same glossy/area-light points as f32 (see render.py)."""
+    k = jax.random.fold_in(key, site)
+    ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(k, sid)
+    draw = jax.vmap(lambda kk: jax.random.uniform(kk, (n,), jnp.float32))
+    return draw(ks).astype(dtype)
 
 
 def sample_atlas(data, meta, tex_ix, uv, srgb: bool = True):
@@ -139,10 +145,16 @@ def apply_lights(pre: ShadePre, occ, active):
 
 def shade_pre(
     d, hit: Hit, det: HitDetail, st: SceneTables, cfg: RenderConfig,
-    key, active,
+    key, active, sid=None,
 ):
-    """Occlusion-independent shading: returns (ShadePre, Children)."""
+    """Occlusion-independent shading: returns (ShadePre, Children).
+
+    sid: optional [R] int32 per-SAMPLE ids for the glossy/area-light
+    draws (counter-based: value per lane independent of batch shape —
+    see _uniform).  None falls back to lane index."""
     R = d.shape[0]
+    if sid is None:
+        sid = jnp.arange(R, dtype=jnp.int32)
     dtype = d.dtype
     p = det.point
 
@@ -210,7 +222,7 @@ def shade_pre(
             lcol = st.light_color[li]
             c0, c1, c2 = st.light_falloff[li]
             if st.area_flags[li]:
-                ab = _uniform(key, 1000 + 2 * li, (R, 2), dtype) * 2.0 - 1.0
+                ab = _uniform(key, 1000 + 2 * li, sid, 2, dtype) * 2.0 - 1.0
                 lpos = lpos + ab[:, :1] * st.light_area_a[li] \
                     + ab[:, 1:] * st.light_area_b[li]
             hit_to_light = lpos - p
@@ -274,7 +286,7 @@ def shade_pre(
         )
         u_basis = m3.cross(reflect_dir, offset)
         v_basis = m3.cross(reflect_dir, u_basis)
-        uvc = _uniform(key, 2000, (R, 2), dtype)
+        uvc = _uniform(key, 2000, sid, 2, dtype)
         u_coord = (-0.5 + uvc[:, 0]) * mat_glossy
         v_coord = (-0.5 + uvc[:, 1]) * mat_glossy
         glossy_dir = (

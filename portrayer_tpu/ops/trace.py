@@ -51,6 +51,11 @@ class _Queue(NamedTuple):
     t_min: jnp.ndarray    # [Q] per-ray t-range start
     src_node: jnp.ndarray # [Q] int32 node the ray spawned from (-1 primary)
     src_tri: jnp.ndarray  # [Q] int32 triangle the ray spawned from
+    sid: jnp.ndarray      # [Q] int32 sample id for counter-based RNG
+    #                       (primary: lane index; children: 2*sid+{0,1}
+    #                       — draws keyed per (round, site, sid) so
+    #                       pixels are independent of queue capacity,
+    #                       slicing and compaction order)
 
 
 def _acc_add(acc, pix, x, spp_c: int):
@@ -115,7 +120,8 @@ def _round_shade(
     miss_w = jnp.where(active & ~hit.hit, q.w, 0.0)
 
     shade_active = active & hit.hit
-    pre, children = shade_pre(q.d, hit, det, st, cfg, rkey, shade_active)
+    pre, children = shade_pre(q.d, hit, det, st, cfg, rkey, shade_active,
+                              sid=q.sid)
     t_eps = pre.t_eps
 
     w_hit = q.w
@@ -166,6 +172,7 @@ def _round_shade(
         t_min=jnp.concatenate([t_eps, t_eps]),
         src_node=jnp.concatenate([hit.node, hit.node]),
         src_tri=jnp.concatenate([hit.tri, hit.tri]),
+        sid=jnp.concatenate([2 * q.sid, 2 * q.sid + 1]),
     )
     return acc, child, shadow
 
@@ -260,6 +267,7 @@ def _compact(child: _Queue, capacity: int, acc, bg):
         t_min=place(child.t_min, 1.0),
         src_node=place(child.src_node, -1),
         src_tri=place(child.src_tri, -1),
+        sid=place(child.sid, 0),
     ), acc, dropped
 
 
@@ -290,6 +298,7 @@ def trace(
         t_min=jnp.full((R0,), cfg.epsilon, dtype),
         src_node=jnp.full((R0,), -1, jnp.int32),
         src_tri=jnp.full((R0,), -1, jnp.int32),
+        sid=jnp.arange(R0, dtype=jnp.int32),
     )
 
     # Scenes with no reflective material never spawn children — statically
@@ -357,6 +366,7 @@ def trace(
             t_min=jnp.ones((cap,), dtype),
             src_node=jnp.full((cap,), -1, jnp.int32),
             src_tri=jnp.full((cap,), -1, jnp.int32),
+            sid=jnp.zeros((cap,), jnp.int32),
         )
 
     def round_r(q, acc, ridx, next_cap):
