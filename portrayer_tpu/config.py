@@ -189,6 +189,11 @@ class RenderConfig:
     # (u8[13.6M,3] x 8 iters = 13GB on castle).
     remat_min_lanes: int = 0
 
+    # Python-unroll the uniform-capacity bounce-round tail instead of
+    # sharing one lax.scan body: ~(max_depth)x the compile time, but the
+    # backward avoids the scan's per-iteration residual mechanics.
+    unroll_tail: bool = False
+
     # Beam-sweep parameters: rays per warp, number of front-to-back t
     # segments, candidate chunk size, and the minimum primitive count below
     # which the brute-force sweep is used instead.

@@ -320,7 +320,7 @@ def trace(
         else:
             caps = (4.0,) if st.any_refractive else (1.0,)
     caps = tuple(caps) + (caps[-1],) * max(0, max_depth - len(caps))
-    cap_of = lambda r: max(int(round(R0 * caps[r - 1])), 8)
+    cap_of = lambda r: max(int(round(R0 * caps[min(r, len(caps)) - 1])), 8)
 
     # Round 0 (primary rays), remat'd with sweep oracles saved (see
     # _REMAT_POLICY): backward replays shading from (queue, hit ids)
@@ -431,25 +431,30 @@ def trace(
 
     # Head rounds with changing capacities run as specialized Python
     # rounds (static shapes per round); the uniform-capacity tail shares
-    # ONE lax.scan body (compiled once) with dynamic early exit.
+    # ONE lax.scan body (compiled once) with dynamic early exit —
+    # unless cfg.unroll_tail trades compile time for removing the scan's
+    # backward mechanics (per-iteration residual stacking/slicing).
     tail_start = max_depth
     while tail_start > 1 and cap_of(tail_start - 1) == cap_of(max_depth):
         tail_start -= 1
+    if cfg.unroll_tail:
+        tail_start = max_depth + 1
 
     for r in range(1, tail_start):
         q, acc, n_live, dr = round_r(q, acc, r, cap_of(r + 1))
         dropped = dropped + dr
         stats.append(n_live[None])
 
-    def body(carry, ridx):
-        q, acc, dropped = carry
-        q, acc, n_live, dr = round_r(q, acc, ridx, cap_of(max_depth))
-        return (q, acc, dropped + dr), n_live
+    if tail_start <= max_depth:
+        def body(carry, ridx):
+            q, acc, dropped = carry
+            q, acc, n_live, dr = round_r(q, acc, ridx, cap_of(max_depth))
+            return (q, acc, dropped + dr), n_live
 
-    (q, acc, dropped), n_lives = jax.lax.scan(
-        body, (q, acc, dropped), jnp.arange(tail_start, max_depth + 1)
-    )
-    stats.append(n_lives)
+        (q, acc, dropped), n_lives = jax.lax.scan(
+            body, (q, acc, dropped), jnp.arange(tail_start, max_depth + 1)
+        )
+        stats.append(n_lives)
 
     if with_stats:
         return acc, TraceStats(

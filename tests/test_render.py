@@ -144,6 +144,30 @@ def test_f64_verification_mode():
         f"f64 vs f32: mean={diff.mean():.2e} max={diff.max():.2e}")
 
 
+def test_adaptive_slicing_does_not_shift_pixels():
+    """Perf knobs must not change pixels: the adaptive round capacity
+    variants (queue_slice_divs) and the capacity itself only change HOW
+    MANY lanes are processed, and the counter-based per-sample RNG keys
+    glossy/area draws by (round, site, sid) — so renders are bit-equal
+    across slicing configs.  (Pre-fix, draw VALUES depended on batch
+    shape: the accel matrix caught 13.6% pixel divergence on castle.)"""
+    import scenes as sc
+
+    spec = sc.load("glossy-reflection")  # glossy: exercises the draws
+    size = (48, 48)
+    imgs = []
+    for divs, caps in (((1,), (2.0,)), ((16, 4, 1), (2.0,)),
+                       ((4,), (3.0,))):
+        cfg = RenderConfig(samples=2, tile=(48, 48), accel="flat",
+                           queue_slice_divs=divs, queue_caps=caps)
+        imgs.append(render_linear(spec.scene, spec.camera, size,
+                                  spec.background, cfg))
+    assert np.array_equal(imgs[0], imgs[1])
+    # Different CAPACITY changes padding lanes only; live lanes draw the
+    # same numbers.
+    assert np.abs(imgs[0] - imgs[2]).max() < 1e-6
+
+
 def test_queue_caps_validation():
     import pytest
 
