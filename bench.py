@@ -21,6 +21,16 @@ import time
 
 os.environ.setdefault("SAMPLES", "1")
 
+# Persistent XLA compilation cache: the castle depth-10 trace and its
+# train_step each compile for minutes; a warm cache turns a cold bench
+# run (~15 min, mostly compiles) into a ~4 min one.  Must be set before
+# the jax backend initializes (jax is imported lazily below).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 BASELINE_MRAYS = 0.43  # reference big-scene primary throughput (BASELINE.md)
 
 
@@ -125,9 +135,12 @@ def bench_castle(fwd_bwd: bool, res=256, spp=1, order="tile16"):
         px_pix = xs.reshape(-1)
         py_pix = ys.reshape(-1)
     elif order == "frame":
-        # Uniform full-frame subsample on a tile16-ordered grid.
-        gw = (int(np.sqrt(res * res * w / h)) // 16) * 16
-        gh = (int(res * res / max(gw, 1)) // 16) * 16
+        # Uniform full-frame subsample on a tile16-ordered grid.  The
+        # grid is res x res (NOT aspect-matched: per-axis scale factors
+        # sx/sy handle aspect) so P_ == res*res and this stage reuses
+        # the tile16/strided stages' compiled executable — each castle
+        # compile costs minutes, and identical shapes share one.
+        gw = gh = res
         sx, sy = w / gw, h / gh
         ys, xs = np.mgrid[0:gh, 0:gw]
         tile16 = lambda a: (a.reshape(gh // 16, 16, gw // 16, 16)
@@ -168,8 +181,14 @@ def bench_castle(fwd_bwd: bool, res=256, spp=1, order="tile16"):
             fn, lambda i: (jax.random.fold_in(key, i), o, d, pix, bg,
                            target))
     else:
-        fn = jax.jit(lambda k, o, d, pix, bg: trace(
-            k, o, d, pix, bg, P_, st, cfg, spp_contiguous=spp))
+        # ONE jitted trace shared by every fwd order with the same shapes
+        # (tile16 / strided / frame): a fresh jax.jit(lambda) per stage
+        # re-traces AND re-compiles (minutes each on the castle).
+        ck = ("fwd_fn", P_, spp)
+        if ck not in _CASTLE:
+            _CASTLE[ck] = jax.jit(lambda k, o, d, pix, bg: trace(
+                k, o, d, pix, bg, P_, st, cfg, spp_contiguous=spp))
+        fn = _CASTLE[ck]
         acc = np.asarray(fn(key, o, d, pix, bg))
         assert np.isfinite(acc).all(), (
             "castle fwd: non-finite radiance "
