@@ -13,15 +13,19 @@ broadcasts:
     axis-aligned boxes, world-space triangles), cutting the per-candidate
     VPU cost by 2-4x vs the general world->local affine path.
   * An XLA prologue runs the PER-RAY slab test of every chunk AABB as a
-    fused [rays, chunks] reduce, grouped per SUB-ray *sub-block*
-    (cfg.pallas_subblock, default 32): a sub-block's entry-t for a chunk
-    is the min entry over its rays that actually cross it (+inf when none
-    does — such chunks sort to the back of that sub-block's list and are
-    never visited).  Each sub-block gets its OWN front-to-back sorted
-    candidate list in SMEM.  (Round 3 used one list per 256-ray block;
-    the block union made every ray sweep ~8-13k candidates where a
-    per-ray-perfect traversal needs ~300-500.  Round 2 used a
-    block-interval bound; one sky lane then forced whole-scene sweeps.)
+    fused [rays, chunks] reduce, grouped per SUB-ray group: a group's
+    entry-t for a chunk is the min entry over its rays that actually
+    cross it (+inf when none does — such chunks compact to the back of
+    that group's list and are never visited).  Each group gets its OWN
+    front-to-back candidate list + crossed count in SMEM.  The SHIPPED
+    default is ONE group per block (cfg.pallas_subblock == pallas_block
+    == 256): coherent tile-ordered blocks share near-identical crossing
+    sets (block union 9.1 chunks vs per-ray 8.5 on castle), so finer
+    per-32/64-ray lists only multiply per-visit fixed costs — measured
+    24.6 -> 51 ms at SUB=32 (docs/PERF.md round-4 negative results).
+    pallas_subblock < pallas_block remains a knob for incoherent
+    workloads.  (Round 2 used a block-interval bound; one sky lane then
+    forced whole-scene sweeps.)
   * The kernel sweeps each sub-block's list with a while_loop on
     [SUB, 128] tiles: dynamic-slice the chunk's table rows from the
     VMEM-resident slab, static-dispatch on the chunk's packed kind, and

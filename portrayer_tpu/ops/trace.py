@@ -73,8 +73,10 @@ class TraceStats(NamedTuple):
     live: [max_depth+1] int32 live-ray count entering each bounce round.
     dropped_w: scalar — total live throughput terminated by queue-capacity
     overflow across all rounds, as a FRACTION of the primary ray count.
-    Stale scene queue_caps hints fail loudly through this counter (the
-    accel matrix and self-golden gates assert it stays ~0)."""
+    Stale scene queue_caps hints fail loudly through this counter: the
+    castle overflow test (tests/test_render.py), tools/accel_matrix.py and
+    tools/gen_self_goldens.py all assert it stays ~0 (full-frame, via
+    debug.queue_overflow_fraction)."""
     live: jnp.ndarray
     dropped_w: jnp.ndarray
 

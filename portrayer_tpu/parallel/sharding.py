@@ -19,7 +19,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+# jax.experimental.shard_map is deprecated (removed after jax 0.8); the
+# public jax.shard_map is the same transform.  Keep the fallback so the
+# package still imports on older jax.
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover - jax < 0.6
+    from jax.experimental.shard_map import shard_map
 
 from ..config import RenderConfig
 from ..scene.flatten import SceneTables

@@ -16,7 +16,7 @@ from portrayer_tpu import native
 from portrayer_tpu.scene.mesh import MeshData
 from portrayer_tpu.scene import flatten as fl
 
-ASSETS = "/root/reference/assets"
+ASSETS = os.environ.get("PORTRAYER_ASSETS", "/root/reference/assets")
 
 needs_native = pytest.mark.skipif(
     not native.available(), reason="native library unavailable"

@@ -69,6 +69,22 @@ def main():
                 spec.scene, spec.camera, (w, h), spec.background, cfg))
             imgs[accel] = img
             row.append(f"{accel}:{time.time()-t0:6.1f}s")
+        # Queue-overflow gate (trace.TraceStats.dropped_w): stale per-scene
+        # queue_caps hints must fail loudly, not silently tint renders.
+        # One full-frame strided check per scene on the base accel config.
+        from portrayer_tpu.debug import queue_overflow_fraction
+        cfg0 = RenderConfig(
+            samples=1, tile=(64, 64), accel=accels[0], seed=0,
+            queue_caps=spec.queue_caps,
+            pallas_interpret=(
+                None if jax.default_backend() == "tpu" else True))
+        dw = queue_overflow_fraction(
+            spec.scene, spec.camera, (w, h), spec.background, cfg0,
+            max_rays=16384)
+        row.append(f"dropped_w={dw:.2e}")
+        if dw > 1e-3:
+            failures.append((name, "queue-overflow", "dropped_w", dw, 0.0))
+
         base = accels[0]
         for accel in accels[1:]:
             diff = np.abs(imgs[accel] - imgs[base])

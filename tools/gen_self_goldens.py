@@ -93,6 +93,24 @@ def main():
             continue
         t0 = time.time()
         u8 = render_one(name)
+        # Queue-overflow gate: a self-golden generated while queue caps
+        # silently drop bounce energy would PIN the broken image
+        # (trace.TraceStats.dropped_w must stay ~0, full-frame).
+        import scenes
+        from portrayer_tpu import RenderConfig
+        from portrayer_tpu.debug import queue_overflow_fraction
+
+        spec = scenes.load(name)
+        w = min(max(32, int(spec.size[0] * SCALE)), WIDTH_CAPS.get(name, MAX_W))
+        h = max(32, int(spec.size[1] * w / spec.size[0]))
+        cfg = RenderConfig(samples=1, tile=(64, 64), accel="beam", seed=0,
+                           queue_caps=spec.queue_caps)
+        dw = queue_overflow_fraction(
+            spec.scene, spec.camera, (w, h), spec.background, cfg,
+            max_rays=16384)
+        assert dw <= 1e-3, (
+            f"{name}: queue overflow dropped {dw:.2%} of primary "
+            "throughput — fix the scene's queue_caps before pinning")
         PILImage.fromarray(u8, mode="RGB").save(path)
         print(f"{name}: wrote {path} {u8.shape[1]}x{u8.shape[0]} "
               f"({time.time() - t0:.1f}s)", flush=True)

@@ -23,12 +23,15 @@ from portrayer_tpu import RenderConfig, flatten_scene
 from portrayer_tpu.camera import Camera
 from portrayer_tpu.ops.trace import trace
 from portrayer_tpu.parallel import make_mesh, train_step
-from portrayer_tpu.parallel.sharding import DIFF_FIELDS
 
 
 def stream(f, args_fn, n=8):
-    jax.block_until_ready(f(*args_fn(0)))
-    argsets = [args_fn(i + 1) for i in range(n)]
+    # TWO warm-up calls, matching bench._timeit_stream: the relay uploads
+    # host-sourced buffers lazily, so a single warm-up folds upload cost
+    # into the timed region (round-4 advisor).
+    for j in range(2):
+        jax.block_until_ready(f(*args_fn(j)))
+    argsets = [args_fn(i + 2) for i in range(n)]
     t0 = time.time()
     outs = [f(*a) for a in argsets]
     jax.block_until_ready(outs)
