@@ -33,17 +33,17 @@ broadcasts:
     floats order identically as int32 bit patterns, so
     (t_bits & ~127) | lane makes one lane-min reduction deliver both the
     nearest t (quantized to 2^-16 relative) and the winning lane — no
-    argmin, no per-chunk id selects.  A sub-block's sweep stops as soon
-    as the next chunk's entry-t exceeds every live ray's current upper
-    bound — the early termination of ordered kd-tree descent
-    (kdtree/node.rs:132-199) at SUB-ray granularity with fully static
-    shapes; all-dead sub-blocks (compacted late bounce rounds) skip
+    argmin.  The key is lane-UNIQUE, so `packed == pmin` marks exactly
+    one lane and a masked lane-sum extracts the winner's node/tri ids
+    in-kernel — the XLA decode epilogue this replaces was 8.7 ms of
+    [R]-sized gathers per 262k rays, 2.7x the candidate evals it
+    decoded.  All-dead sub-blocks (compacted late bounce rounds) skip
     entirely.
-  * The wrapper's XLA epilogue decodes (candidate, lane) -> (node, tri) and
-    recomputes the winner's t *exactly* (and differentiably) from the scene
-    tables via ops.intersect.winner_t — the same detached-selection /
-    reattached-value construction hit_detail uses, so Hit.t keeps full f32
-    precision and the pallas path supports reverse-mode AD.
+  * The wrapper's XLA epilogue recomputes the winner's t *exactly* (and
+    differentiably) from the scene tables via ops.intersect.winner_t — the
+    same detached-selection / reattached-value construction hit_detail
+    uses, so Hit.t keeps full f32 precision and the pallas path supports
+    reverse-mode AD.
   * Prim tables larger than one VMEM slab stream through a second grid
     dimension; the running best lives in the (revisited) output block.
 
@@ -165,7 +165,7 @@ def _make_kernel(B, SUB, SC, Nslab, slab_ranges, eps, self_eps_local, dtype,
         if any_hit:
             (fnd_ref,) = outs
         else:
-            bp_ref, bc_ref = outs
+            bp_ref, bn_ref, bt_ref = outs
         s = pl.program_id(1)
 
         @pl.when(s == 0)
@@ -174,7 +174,8 @@ def _make_kernel(B, SUB, SC, Nslab, slab_ranges, eps, self_eps_local, dtype,
                 fnd_ref[0] = jnp.zeros((B, 1), jnp.int32)
             else:
                 bp_ref[0] = jnp.full((B, 1), INF_BITS, jnp.int32)
-                bc_ref[0] = jnp.full((B, 1), -1, jnp.int32)
+                bn_ref[0] = jnp.full((B, 1), -1, jnp.int32)
+                bt_ref[0] = jnp.full((B, 1), -1, jnp.int32)
 
         rays = rays_ref[0]                       # [16, B] feature-major
         # Feature-major [16, B] keeps the host-side pack lane-aligned (the
@@ -240,16 +241,17 @@ def _make_kernel(B, SUB, SC, Nslab, slab_ranges, eps, self_eps_local, dtype,
                     return (t >= t_min) & (t < tmaxb)
 
                 def chunk_t(pos, kind):
-                    """Candidate t [SUB,C] for the chunk at sorted position
-                    `pos` of sub-block g's slab row.  `kind` is STATIC — only
-                    that kind's branch is traced (no runtime dispatch, absent
-                    kinds compile to nothing)."""
+                    """Candidate (t, node, tri) — t [SUB,C], ids [1,C] — for
+                    the chunk at sorted position `pos` of sub-block g's slab
+                    row.  `kind` is STATIC — only that kind's branch is
+                    traced (no runtime dispatch, absent kinds compile to
+                    nothing)."""
                     cid = cand_ref[0, g, pos]
                     c0 = pl.multiple_of(cid * C, C)
                     row = lambda r: pf_ref[r, pl.ds(c0, C)].reshape(1, C)
                     node = pid_ref[0, pl.ds(c0, C)].reshape(1, C)
+                    tri = pid_ref[1, pl.ds(c0, C)].reshape(1, C)
                     if use_src:
-                        tri = pid_ref[1, pl.ds(c0, C)].reshape(1, C)
                         is_src = (node == src_i) & (tri == srct_i)
                     else:
                         is_src = jnp.zeros((SUB, C), bool)
@@ -547,7 +549,7 @@ def _make_kernel(B, SUB, SC, Nslab, slab_ranges, eps, self_eps_local, dtype,
                     branches = (sphere_g, plane_g, cube_g, cylinder_g, cone_g,
                                 tri_w, torus_g, sphere_w, aabox)
                     t = branches[kind]()    # static python dispatch
-                    return jnp.where((node >= 0) & act, t, INF)
+                    return jnp.where((node >= 0) & act, t, INF), node, tri
 
                 return chunk_t
 
@@ -574,7 +576,7 @@ def _make_kernel(B, SUB, SC, Nslab, slab_ranges, eps, self_eps_local, dtype,
                     for kind, off, cnt, swept in slab_ranges[si]:
                         if not swept:   # short run: static unrolled sweep
                             for k in range(cnt):
-                                t = chunk_t(off + k, kind)
+                                t, _, _ = chunk_t(off + k, kind)
                                 fnd = jnp.maximum(
                                     fnd,
                                     (jnp.min(t, axis=1, keepdims=True)
@@ -590,7 +592,7 @@ def _make_kernel(B, SUB, SC, Nslab, slab_ranges, eps, self_eps_local, dtype,
                             ci, fnd = state
                             for k in range(UN):
                                 pos = off + jnp.minimum(ci + k, cnt - 1)
-                                t = chunk_t(pos, kind)
+                                t, _, _ = chunk_t(pos, kind)
                                 fnd = jnp.maximum(
                                     fnd,
                                     (jnp.min(t, axis=1, keepdims=True)
@@ -605,56 +607,65 @@ def _make_kernel(B, SUB, SC, Nslab, slab_ranges, eps, self_eps_local, dtype,
 
                 else:
                     bp = bp_ref[0, sl]
-                    bc = bc_ref[0, sl]
+                    bn = bn_ref[0, sl]
+                    bt = bt_ref[0, sl]
 
-                    def fold_near(pos, kind, cand_id, bp, bc):
-                        t = chunk_t(pos, kind)
+                    def fold_near(pos, kind, bp, bn, bt):
+                        # Lane-tagged min fold PLUS in-kernel winner-id
+                        # extraction: the packed key is lane-unique, so
+                        # `packed == pmin` marks exactly one lane and a
+                        # masked lane-sum reads that lane's node/tri id.
+                        # This removes the whole XLA decode epilogue —
+                        # measured 8.7 ms of [R]-sized gathers per 262k
+                        # rays, 2.7x the candidate evals they decoded
+                        # (docs/PERF.md round-5).
+                        t, node, tri = chunk_t(pos, kind)
                         tb = pltpu.bitcast(t, jnp.int32)
                         packed = jax.lax.bitwise_or(
                             jax.lax.bitwise_and(tb, -128), lanes)
                         pmin = jnp.min(packed, axis=1, keepdims=True)  # [SUB,1]
                         better = pmin < bp
+                        is_win = packed == pmin
+                        wn = jnp.sum(jnp.where(is_win, node, 0),
+                                     axis=1, keepdims=True)
+                        wt = jnp.sum(jnp.where(is_win, tri, 0),
+                                     axis=1, keepdims=True)
                         bp = jnp.where(better, pmin, bp)
-                        bc = jnp.where(better, cand_id, bc)
-                        return bp, bc
+                        bn = jnp.where(better, wn, bn)
+                        bt = jnp.where(better, wt, bt)
+                        return bp, bn, bt
 
                     ri = 0
                     for kind, off, cnt, swept in slab_ranges[si]:
                         if not swept:   # short run: static unrolled sweep
                             for k in range(cnt):
-                                bp, bc = fold_near(
-                                    off + k, kind,
-                                    jnp.int32(si * SC + off + k), bp, bc)
+                                bp, bn, bt = fold_near(
+                                    off + k, kind, bp, bn, bt)
                             continue
 
                         def cond(state, ri=ri):
-                            ci, _, _ = state
+                            ci, _, _, _ = state
                             return ci < cnt_ref[0, g, ri]
 
-                        def body(state, si=si, off=off, cnt=cnt, kind=kind):
+                        def body(state, off=off, cnt=cnt, kind=kind):
                             # UN-wide unroll: chunks per iteration overlap
                             # their row loads/compute; trailing positions
                             # past the count are un-crossed chunks (misses
                             # only) and the strict < fold keeps the
                             # earlier candidate winning ties.
-                            ci, bp, bc = state
+                            ci, bp, bn, bt = state
                             for k in range(UN):
                                 idx = jnp.minimum(ci + k, cnt - 1)
-                                t = chunk_t(off + idx, kind)
-                                tb = pltpu.bitcast(t, jnp.int32)
-                                packed = jax.lax.bitwise_or(
-                                    jax.lax.bitwise_and(tb, -128), lanes)
-                                pmin = jnp.min(packed, axis=1, keepdims=True)
-                                better = pmin < bp
-                                bp = jnp.where(better, pmin, bp)
-                                bc = jnp.where(better, si * SC + off + idx, bc)
-                            return ci + UN, bp, bc
+                                bp, bn, bt = fold_near(
+                                    off + idx, kind, bp, bn, bt)
+                            return ci + UN, bp, bn, bt
 
-                        _, bp, bc = jax.lax.while_loop(
-                            cond, body, (jnp.int32(0), bp, bc))
+                        _, bp, bn, bt = jax.lax.while_loop(
+                            cond, body, (jnp.int32(0), bp, bn, bt))
                         ri += 1
                     bp_ref[0, sl] = bp
-                    bc_ref[0, sl] = bc
+                    bn_ref[0, sl] = bn
+                    bt_ref[0, sl] = bt
 
             # Per-(slab, sub-block) sweeps: each runs under its own
             # pl.when — all-dead sub-blocks (late bounce rounds compact
@@ -903,11 +914,14 @@ def intersect_scene_pallas(
         out_shape = [jax.ShapeDtypeStruct((NB, B, 1), jnp.int32)]
         out_specs = [out_spec]
     else:
+        # (packed t-key, winner node, winner tri) — ids are folded inside
+        # the kernel, so no decode gathers downstream.
         out_shape = [
             jax.ShapeDtypeStruct((NB, B, 1), jnp.int32),
             jax.ShapeDtypeStruct((NB, B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((NB, B, 1), jnp.int32),
         ]
-        out_specs = [out_spec, out_spec]
+        out_specs = [out_spec, out_spec, out_spec]
 
     outs = pl.pallas_call(
         kernel,
@@ -925,26 +939,13 @@ def intersect_scene_pallas(
         return Hit(t=jnp.where(hit, 0.0, INF), node=neg, tri=neg, hit=hit)
 
     bp = outs[0].reshape(R)[:R0]
-    bc = outs[1].reshape(R)[:R0]
     hit = (bp < INF_BITS) & active
-
-    # Decode (sorted-candidate position, lane) -> packed column -> ids
-    # (flat 1-D gathers — never materialize [R, candidates]).  The sorted
-    # position is per (block, slab, sub-block): ray r's list is the one
-    # for its sub-block g = (r % B) // SUB.
-    cand_flat = cand.reshape(NB * Nslab * G * SCp)
-    ridx = jnp.arange(R0, dtype=jnp.int32)
-    block = ridx // B
-    g_ix = (ridx % B) // SUB
-    bc_c = jnp.maximum(bc, 0)
-    slab_ix = bc_c // SCp                           # bc = si*SC + pos, SC==SCp
-    sel = cand_flat[((block * Nslab + slab_ix) * G + g_ix) * SCp
-                    + (bc_c % SCp)]                 # chunk id within slab
-    lane = jax.lax.bitwise_and(bp, 127)
-    colid = (slab_ix * SC + sel) * C + lane
-    colid = jnp.clip(colid, 0, pid.shape[1] - 1)
-    node = jnp.where(hit, pid[0, colid], -1)
-    tri = jnp.where(hit, pid[1, colid], -1)
+    # Winner ids come straight from the kernel's masked-lane-sum fold —
+    # no decode gathers (the old position -> chunk -> packed-column
+    # gather chain cost 8.7 ms per 262k rays, 2.7x the candidate evals
+    # it decoded; docs/PERF.md round-5).
+    node = jnp.where(hit, outs[1].reshape(R)[:R0], -1)
+    tri = jnp.where(hit, outs[2].reshape(R)[:R0], -1)
 
     # Exact (and differentiable-by-construction) t for the winners; the
     # quantized key (low mantissa bits cleared) is only the fallback for

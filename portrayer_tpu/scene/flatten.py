@@ -56,9 +56,10 @@ class PackedPrims:
 
     Every *instance* — analytic node or (mesh-instance, triangle) pair — is
     one column.  Columns are grouped into 128-wide chunks; each chunk holds
-    a single primitive kind and is Morton-ordered (world AABB centers) so
-    chunk AABBs stay tight and block-level culling is effective.  This is
-    the TPU-native analogue of the reference's kd-tree leaves
+    a single primitive kind, clustered by recursive SAH bisection (see
+    _sah_chunk_order; "morton" packing remains as a knob) so chunk AABBs
+    stay tight and block-level culling is effective.  This is the
+    TPU-native analogue of the reference's kd-tree leaves
     (src/kdtree/leaf.rs:89-231): spatial clustering into fixed-width SIMD
     leaves instead of a divergent tree descent.
 
@@ -122,6 +123,69 @@ def _morton_order(amin: np.ndarray, amax: np.ndarray) -> np.ndarray:
     return np.argsort(key, kind="stable")
 
 
+def _sah_chunk_order(amin: np.ndarray, amax: np.ndarray,
+                     leaf: int = PACK_CHUNK) -> np.ndarray:
+    """Spatial sort by recursive SAH-at-chunk-granularity bisection.
+
+    The packed table's cull unit is the 128-wide chunk: a ray pays one
+    full [B, 128] sweep step per chunk whose AABB it crosses, so the
+    packer's whole job is minimizing expected chunk crossings.  Morton
+    slicing (round 2-4) makes consecutive-128 runs *locally* ordered but
+    is blind to where the curve jumps; this builder instead does the
+    kd/BVH construction the reference's recursive median build performs
+    (src/kdtree/kdscene.rs:36-66) at chunk granularity: recursively
+    bisect the prim set, choosing the (axis, multiple-of-`leaf` split)
+    that minimizes the surface-area heuristic
+        ceil(k/leaf) * SA(left) + ceil((n-k)/leaf) * SA(right),
+    until segments fit one chunk.  Every split is a multiple of `leaf`,
+    so all chunks except the global last are exactly full — no extra
+    padding lanes vs Morton.  Measured on the castle crop this cuts
+    crossed chunks/block ~25% and per-ray candidate evals accordingly
+    (docs/PERF.md round-5 ledger)."""
+    n = amin.shape[0]
+    if n <= leaf:
+        return np.arange(n)
+    cent = 0.5 * (amin + amax)
+    out: List[np.ndarray] = []
+
+    def area(mn, mx):
+        e = np.maximum(mx - mn, 0.0)
+        return e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2] + e[:, 2] * e[:, 0]
+
+    # Iterative stack (meshes reach 10^5+ prims; Python recursion depth
+    # is O(log n) here but the explicit stack is free and safe).
+    stack = [np.arange(n)]
+    while stack:
+        ids = stack.pop()
+        m = ids.shape[0]
+        if m <= leaf:
+            out.append(ids)
+            continue
+        best_cost = np.inf
+        best_order = None
+        best_k = leaf
+        ks = np.arange(leaf, m, leaf)
+        for axis in range(3):
+            order = ids[np.argsort(cent[ids, axis], kind="stable")]
+            pmin = np.minimum.accumulate(amin[order], axis=0)
+            pmax = np.maximum.accumulate(amax[order], axis=0)
+            smin = np.minimum.accumulate(amin[order][::-1], axis=0)[::-1]
+            smax = np.maximum.accumulate(amax[order][::-1], axis=0)[::-1]
+            cost = (np.ceil(ks / leaf) * area(pmin[ks - 1], pmax[ks - 1])
+                    + np.ceil((m - ks) / leaf) * area(smin[ks], smax[ks]))
+            j = int(np.argmin(cost))
+            if cost[j] < best_cost:
+                best_cost = cost[j]
+                best_order = order
+                best_k = int(ks[j])
+        # Push right first so `out` accumulates left-to-right; the
+        # non-multiple remainder always rides the rightmost segment, so
+        # only the group's final chunk is ever padded.
+        stack.append(best_order[best_k:])
+        stack.append(best_order[:best_k])
+    return np.concatenate(out)
+
+
 def _uniform_similarity(t3):
     """[N] bool: forward 3x3 is rotation x uniform scale; and [N] scale."""
     M = t3[:, :, :3]
@@ -153,9 +217,10 @@ def _axis_aligned(t3):
 def _build_packed(
     groups, trans, inv, aabb_min, aabb_max,
     pair_node, pair_tri, pair_amin, pair_amax, pair_world,
-    tri_abc, prim_params,
+    tri_abc, prim_params, packing: str = "sah",
 ):
     """Assemble PackedPrims (numpy) from the flat node/pair tables."""
+    spatial_order = (_sah_chunk_order if packing == "sah" else _morton_order)
     f_cols: List[np.ndarray] = []   # per-kind [k,21]
     id_cols: List[np.ndarray] = []  # per-kind [k,2]
     a_cols_min: List[np.ndarray] = []
@@ -207,7 +272,7 @@ def _build_packed(
             pt = np.asarray(pair_tri)
             amin = np.asarray(pair_amin)
             amax = np.asarray(pair_amax)
-            order = _morton_order(amin, amax)
+            order = spatial_order(amin, amax)
             pn, pt = pn[order], pt[order]
             # Unit-triangle affine: rows map world points into the
             # (beta, gamma, w) frame where the triangle is beta,gamma >= 0,
@@ -241,11 +306,16 @@ def _build_packed(
             add_group(MESH, f, ids, amin[order], amax[order])
         else:
             idx = np.arange(start, start + count)
-            order = idx[_morton_order(aabb_min[idx], aabb_max[idx])]
+            # Specialized-kind subsets are selected FIRST and each subset
+            # is spatially ordered independently: ordering the union and
+            # then filtering would leave both subsets' chunk boundaries
+            # misaligned with the SAH splits.
+            sub_order = lambda ids: ids[spatial_order(
+                aabb_min[ids], aabb_max[ids])]
             if kind == SPHERE:
                 uni, s = _uniform_similarity(trans)
-                sel = uni[order]
-                spec = order[sel]
+                spec = sub_order(idx[uni[idx]])
+                rest = sub_order(idx[~uni[idx]])
                 if spec.size:
                     f = np.zeros((spec.size, 21))
                     f[:, 0:3] = trans[spec][:, :, 3]   # world center
@@ -254,11 +324,11 @@ def _build_packed(
                     ids = np.stack([spec, np.full(spec.size, -1)], axis=1)
                     add_group(PACKED_SPHERE_W, f, ids,
                               aabb_min[spec], aabb_max[spec])
-                add_general(SPHERE, order[~sel])
+                add_general(SPHERE, rest)
             elif kind == CUBE:
                 aa, srow = _axis_aligned(trans)
-                sel = aa[order]
-                spec = order[sel]
+                spec = sub_order(idx[aa[idx]])
+                rest = sub_order(idx[~aa[idx]])
                 if spec.size:
                     # Containment slack: local 0.5+EPSILON maps to a world
                     # pad of EPSILON * extent per axis (unit cube side 1).
@@ -271,9 +341,9 @@ def _build_packed(
                     ids = np.stack([spec, np.full(spec.size, -1)], axis=1)
                     add_group(PACKED_AABOX, f, ids,
                               aabb_min[spec], aabb_max[spec])
-                add_general(CUBE, order[~sel])
+                add_general(CUBE, rest)
             else:
-                add_general(kind, order)
+                add_general(kind, sub_order(idx))
 
     if not kinds:  # empty scene: one all-padding chunk
         kinds = [SPHERE]
@@ -414,7 +484,8 @@ def _world_aabb(trans4, lmin, lmax):
     return world.min(axis=0), world.max(axis=0)
 
 
-def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
+def flatten_scene(scene: Scene, dtype=jnp.float32,
+                  packing: str = "sah") -> SceneTables:
     flat: List[_FlatNode] = []
 
     # Triangle soup accumulators (numpy blocks; mesh data shared between
@@ -730,7 +801,7 @@ def flatten_scene(scene: Scene, dtype=jnp.float32) -> SceneTables:
     pk_f32, pk_ids, pk_kind, pk_cmin, pk_cmax, pk_nc, pk_ranges = _build_packed(
         groups, trans, inv, aabb_min, aabb_max,
         pair_node, pair_tri, pair_amin, pair_amax, pair_world,
-        tri_abc, prim_params,
+        tri_abc, prim_params, packing=packing,
     )
 
     f = lambda x: jnp.asarray(x, dtype=dtype)
