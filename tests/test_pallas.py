@@ -93,10 +93,12 @@ def test_pallas_matches_flat(name):
     pt = np.asarray(pal.t)[both]
     # The kernel's specialized world-space candidates may resolve grazing
     # knife-edge hits differently from the local-space fold (both are
-    # valid roots within f32 error); allow <=1% such near-tie swaps as
-    # long as the reported ts nearly agree.
+    # valid roots within f32 error); allow <=0.2% such swaps, and ONLY
+    # where the two ts sit within the kernel's 2^-16-relative tie quantum
+    # (the claimed cause) — a systematic wrong-winner bug then fails even
+    # at 0.3% incidence (round-4 verdict Weak #7).
     mism = fn != pn
-    assert mism.mean() <= 0.01, f"{mism.sum()} node mismatches"
+    assert mism.mean() <= 0.002, f"{mism.sum()} node mismatches"
     np.testing.assert_array_equal(
         np.asarray(flat.tri)[both][~mism], np.asarray(pal.tri)[both][~mism]
     )
@@ -105,7 +107,11 @@ def test_pallas_matches_flat(name):
     # few-ulp f32 divergence on the same winning primitive is expected.
     np.testing.assert_allclose(pt[~mism], ft[~mism], rtol=1e-4, atol=1e-5)
     if mism.any():
-        np.testing.assert_allclose(pt[mism], ft[mism], rtol=3e-3, atol=1e-3)
+        quantum = 2.0 ** -16 * np.maximum(np.abs(ft[mism]), np.abs(pt[mism]))
+        gap = np.abs(pt[mism] - ft[mism])
+        assert (gap <= 2.0 * quantum + 1e-5).all(), (
+            f"node-mismatched rays outside the tie quantum: "
+            f"max gap {gap.max():.4g} vs quantum {quantum.max():.4g}")
 
 
 def test_pallas_any_hit_occlusion():
@@ -147,12 +153,16 @@ def test_pallas_mosaic_compiles_on_tpu():
     pal = intersect_scene_pallas(o, d, 1e-5, jnp.inf, st, cfg)
     both = np.asarray(flat.hit)
     np.testing.assert_array_equal(both, np.asarray(pal.hit))
+    ft = np.asarray(flat.t)[both]
+    pt = np.asarray(pal.t)[both]
     mism = np.asarray(flat.node)[both] != np.asarray(pal.node)[both]
-    assert mism.mean() <= 0.01
-    np.testing.assert_allclose(
-        np.asarray(pal.t)[both][~mism], np.asarray(flat.t)[both][~mism],
-        rtol=1e-4, atol=1e-5,
-    )
+    assert mism.mean() <= 0.002
+    np.testing.assert_allclose(pt[~mism], ft[~mism], rtol=1e-4, atol=1e-5)
+    if mism.any():
+        # Mismatched winners must sit within the kernel's 2^-16-relative
+        # tie quantum (round-4 verdict Weak #7).
+        quantum = 2.0 ** -16 * np.maximum(np.abs(ft[mism]), np.abs(pt[mism]))
+        assert (np.abs(pt[mism] - ft[mism]) <= 2.0 * quantum + 1e-5).all()
 
 
 @pytest.mark.tpu
