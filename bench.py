@@ -122,8 +122,14 @@ def bench_castle(fwd_bwd: bool, res=256, spp=1, order="tile16"):
     from portrayer_tpu.parallel import make_mesh, train_step
 
     spec = scenes.load("graphics-castle")
+    # unroll_tail + a single adaptive-slice variant: the lax.scan tail's
+    # backward mechanics were ~1/3 of castle fwd+bwd (66 -> 42.5 ms
+    # unrolled, round-5 ledger in docs/PERF.md); one slice variant keeps
+    # the 10 unrolled round bodies under the AOT executable-size limit
+    # (three variants x 10 rounds exceeded the relay's 2 GiB proto cap).
     cfg = RenderConfig(samples=spp, tile=(res, res),
-                       queue_caps=spec.queue_caps)
+                       queue_caps=spec.queue_caps,
+                       unroll_tail=True, queue_slice_divs=(16,))
     st = _castle_tables(cfg)
     cam = Camera(spec.camera, spec.size, dtype=cfg.dtype)
     w, h = spec.size

@@ -829,7 +829,13 @@ def hit_detail(
     t_min = jnp.broadcast_to(jnp.asarray(t_min, dtype), (R,))
     t_max = jnp.full((R,), INF, dtype)
 
-    rec = node_record(st)[node]  # [R,34] — the ONLY per-node gather
+    # Named residual: under the trace loop's checkpoint policy the winner
+    # record gathers are SAVED (cheap [R,~32] rows) so the backward replay
+    # reads them instead of re-gathering (see trace._REMAT_POLICY).
+    from jax.ad_checkpoint import checkpoint_name
+
+    rec = checkpoint_name(node_record(st)[node], "shade_tmp")
+    # [R,34] — the ONLY per-node gather
     inv = rec[:, 0:12].reshape(R, 3, 4)
     # Normal matrix = transposed rotation of world->local (scene.rs:204:
     # invtrans.transposed() applied to w=0 vectors).
@@ -852,7 +858,9 @@ def hit_detail(
     eps = cfg.epsilon
     trec = None
     if MESH in present:
-        trec = tri_record(st)[jnp.maximum(hit.tri, 0)]  # [R,26] one gather
+        trec = checkpoint_name(
+            tri_record(st)[jnp.maximum(hit.tri, 0)], "shade_tmp"
+        )  # [R,26] one gather
 
     if reattach:
         t_re = _winner_candidate_t(

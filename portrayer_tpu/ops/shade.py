@@ -42,10 +42,14 @@ def _uniform(key, site: int, sid, n: int, dtype):
     a compacted queue) and any capacity knob cannot shift pixels.  Drawn
     in f32 regardless of cfg.dtype: the f64 verification mode then
     samples the same glossy/area-light points as f32 (see render.py)."""
+    from jax.ad_checkpoint import checkpoint_name
+
     k = jax.random.fold_in(key, site)
     ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(k, sid)
     draw = jax.vmap(lambda kk: jax.random.uniform(kk, (n,), jnp.float32))
-    return draw(ks).astype(dtype)
+    # Named residual (trace._REMAT_POLICY): saving the [R,n] draws spares
+    # the backward replay a per-lane threefry recompute.
+    return checkpoint_name(draw(ks).astype(dtype), "shade_tmp")
 
 
 def sample_atlas(data, meta, tex_ix, uv, srgb: bool = True):
@@ -63,10 +67,14 @@ def sample_atlas(data, meta, tex_ix, uv, srgb: bool = True):
     x = jnp.mod(x, jnp.maximum(w, 1))
     y = jnp.mod(y, jnp.maximum(h, 1))
     idx = off + y * w + x
+    from jax.ad_checkpoint import checkpoint_name
+
     texel = data[idx].astype(uv.dtype) * (1.0 / 255.0)   # [R,3] in 0..1
     if srgb:
         texel = texel ** 2.2
-    return texel
+    # Named residual (trace._REMAT_POLICY): the backward replay reads the
+    # saved [R,3] texels instead of re-running the u8 atlas gather chain.
+    return checkpoint_name(texel, "shade_tmp")
 
 
 def _apply_uv_trans(uvt6, uv):

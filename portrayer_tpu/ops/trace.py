@@ -34,7 +34,7 @@ from .shade import shade_pre
 # XLA stores [R,3]-shaped temps lane-padded (T(8,128) -> 42.7x the data)
 # so one round's shading state is ~GBs at 262k rays.
 _REMAT_POLICY = jax.checkpoint_policies.save_only_these_names(
-    "sweep_oracle")
+    "sweep_oracle", "shade_tmp")
 
 
 def _oracle(x):

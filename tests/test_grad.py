@@ -266,3 +266,27 @@ def test_silhouette_gradient_curved_prims(prim, urange):
     assert abs(fd_half - fd) / max(abs(fd), 1e-6) < 0.25, (fd, fd_half)
     assert g != 0.0
     assert np.isclose(g, fd, rtol=0.15), f"{prim}: analytic {g} vs fd {fd}"
+
+
+def test_grad_unroll_tail_matches_scan():
+    """The bench's fwd+bwd config (unroll_tail + one slice variant) is a
+    pure scheduling change: gradients must match the default scan tail
+    to float tolerance (same ops, different loop structure)."""
+    st = flatten_scene(_scene(), dtype=jnp.float32)
+    o, d = _rays()
+    n = o.shape[0]
+    pix = jnp.arange(n, dtype=jnp.int32)
+    bg = jnp.full((n, 3), 0.3, jnp.float32)
+
+    def grad_of(cfg):
+        def loss(diffuse):
+            acc = trace(KEY, o, d, pix, bg, n,
+                        st.replace(mat_diffuse=diffuse), cfg)
+            return jnp.sum(acc ** 2)
+        return np.asarray(jax.jit(jax.grad(loss))(st.mat_diffuse))
+
+    g_scan = grad_of(dataclasses.replace(CFG, queue_caps=(2.0,)))
+    g_unroll = grad_of(dataclasses.replace(
+        CFG, queue_caps=(2.0,), unroll_tail=True, queue_slice_divs=(16,)))
+    assert np.all(np.isfinite(g_scan))
+    np.testing.assert_allclose(g_unroll, g_scan, rtol=1e-5, atol=1e-7)

@@ -156,16 +156,22 @@ def test_adaptive_slicing_does_not_shift_pixels():
     spec = sc.load("glossy-reflection")  # glossy: exercises the draws
     size = (48, 48)
     imgs = []
-    for divs, caps in (((1,), (2.0,)), ((16, 4, 1), (2.0,)),
-                       ((4,), (3.0,))):
+    for divs, caps, unroll in (((1,), (2.0,), False),
+                               ((16, 4, 1), (2.0,), False),
+                               ((16,), (2.0,), True),
+                               ((4,), (3.0,), False)):
         cfg = RenderConfig(samples=2, tile=(48, 48), accel="flat",
-                           queue_slice_divs=divs, queue_caps=caps)
+                           queue_slice_divs=divs, queue_caps=caps,
+                           unroll_tail=unroll)
         imgs.append(render_linear(spec.scene, spec.camera, size,
                                   spec.background, cfg))
     assert np.array_equal(imgs[0], imgs[1])
+    # unroll_tail (Python-unrolled bounce rounds, the bench's fwd+bwd
+    # config) is a pure scheduling change: bit-equal to the scan tail.
+    assert np.array_equal(imgs[0], imgs[2])
     # Different CAPACITY changes padding lanes only; live lanes draw the
     # same numbers.
-    assert np.abs(imgs[0] - imgs[2]).max() < 1e-6
+    assert np.abs(imgs[0] - imgs[3]).max() < 1e-6
 
 
 def test_queue_caps_validation():
