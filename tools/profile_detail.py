@@ -29,6 +29,8 @@ def timeit(f, *args, n=8):
     import jax.numpy as _jnp
 
     def vary(i):
+        if not args:
+            return args
         a0 = args[0]
         if not hasattr(a0, "dtype"):
             return args
@@ -40,7 +42,7 @@ def timeit(f, *args, n=8):
     for _ in range(2):
         jax.block_until_ready(f(*args))
     argsets = [vary(i) for i in range(n)]
-    jax.block_until_ready([a[0] for a in argsets])
+    jax.block_until_ready([a[0] for a in argsets if a])
     t0 = time.perf_counter()
     rs = [f(*a) for a in argsets]
     jax.block_until_ready(rs)

@@ -59,27 +59,33 @@ def main():
     mesh = make_mesh(1)
     target = jnp.zeros((R, 3), jnp.float32)
 
-    def cfg_of(unroll, divs=(16, 4, 1)):
+    def cfg_of(unroll, divs=(16, 4, 1), remat_min=0):
         return RenderConfig(samples=1, accel="pallas", max_depth=10,
                             queue_caps=spec.queue_caps, unroll_tail=unroll,
-                            queue_slice_divs=divs)
+                            queue_slice_divs=divs,
+                            remat_min_lanes=remat_min)
 
     results = {}
-    for name, unroll, bwd, divs in [
-        ("fwd", False, False, (16, 4, 1)),
-        ("scan", False, True, (16, 4, 1)),
-        ("fwd_unroll", True, False, (16, 4, 1)),
-        ("unroll", True, True, (16, 4, 1)),
+    for name, unroll, bwd, divs, remat_min in [
+        ("fwd", False, False, (16, 4, 1), 0),
+        ("scan", False, True, (16, 4, 1), 0),
+        ("fwd_unroll", True, False, (16, 4, 1), 0),
+        ("unroll", True, True, (16, 4, 1), 0),
         # single-variant diagnostics: isolate lax.switch AD cost /
         # shrink the unrolled program under the relay's 2GiB AOT limit
-        ("fwd_divs16", False, False, (16,)),
-        ("divs16", False, True, (16,)),
-        ("fwd_unroll16", True, False, (16,)),
-        ("unroll16", True, True, (16,)),
+        ("fwd_divs16", False, False, (16,), 0),
+        ("divs16", False, True, (16,), 0),
+        ("fwd_unroll16", True, False, (16,), 0),
+        ("unroll16", True, True, (16,), 0),
+        # remat exemptions: with no scan, un-remat'd rounds keep their
+        # (small) shading temps and backward skips the replay entirely.
+        # The round-3 13GB atlas-stacking failure was a scan artifact.
+        ("unroll16_rm8k", True, True, (16,), 8192),
+        ("unroll16_rmall", True, True, (16,), 1 << 20),
     ]:
         if name not in want:
             continue
-        cfg = cfg_of(unroll, divs)
+        cfg = cfg_of(unroll, divs, remat_min)
         if bwd:
             fn = jax.jit(lambda k, o, d, cfg=cfg: train_step(
                 mesh, k, o, d, pix, bg, R, 1, target, st, cfg,
